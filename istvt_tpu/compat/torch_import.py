@@ -1,0 +1,180 @@
+"""PyTorch state_dict -> JAX pytree converters.
+
+Used for (a) golden parity tests against the reference implementation and
+(b) ingesting the published pretrained checkpoints. Replicates the
+reference's own weight surgery: Keras-ported pointwise weights arrive as
+(O, I) and must gain two trailing unit dims (reference
+network/xception.py:429-438), and 'fc' is renamed 'last_linear' (:403).
+
+Layout conversions (torch -> ours):
+  conv   (O, I/g, kH, kW) -> HWIO (kH, kW, I/g, O)
+  depthw (C, 1, kH, kW)   -> (kH, kW, 1, C)
+  linear (O, I)           -> (I, O)
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def conv_w(t) -> jnp.ndarray:
+    return jnp.asarray(_np(t).transpose(2, 3, 1, 0))
+
+
+def pointwise_w(t) -> jnp.ndarray:
+    a = _np(t)
+    if a.ndim == 2:  # Keras-ported ckpt (reference xception.py:429-433)
+        a = a[:, :, None, None]
+    return jnp.asarray(a.transpose(2, 3, 1, 0))
+
+
+def linear_w(t) -> jnp.ndarray:
+    return jnp.asarray(_np(t).T)
+
+
+def vec(t) -> jnp.ndarray:
+    return jnp.asarray(_np(t))
+
+
+def _bn(sd: Mapping[str, Any], prefix: str):
+    p = {"scale": vec(sd[f"{prefix}.weight"]), "bias": vec(sd[f"{prefix}.bias"])}
+    s = {"mean": vec(sd[f"{prefix}.running_mean"]),
+         "var": vec(sd[f"{prefix}.running_var"])}
+    return p, s
+
+
+def _sep(sd: Mapping[str, Any], prefix: str):
+    return {"dw": {"w": conv_w(sd[f"{prefix}.conv1.weight"])},
+            "pw": {"w": pointwise_w(sd[f"{prefix}.pointwise.weight"])}}
+
+
+def xception_from_torch(sd: Mapping[str, Any]):
+    """Convert a reference-Xception state_dict (network/xception.py:104-220)
+    to our (params, state). Accepts either 'fc' or 'last_linear' head keys."""
+    sd = dict(sd)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["conv1"] = {"w": conv_w(sd["conv1.weight"])}
+    p["bn1"], s["bn1"] = _bn(sd, "bn1")
+    p["conv2"] = {"w": conv_w(sd["conv2.weight"])}
+    p["bn2"], s["bn2"] = _bn(sd, "bn2")
+
+    for b in range(1, 13):
+        pre = f"block{b}"
+        # rep indices holding SeparableConv2d / BatchNorm modules vary with
+        # start_with_relu (reference xception.py:63-89); recover them by scan.
+        sep_idx = sorted({int(m.group(1)) for k in sd
+                          if (m := re.match(rf"{pre}\.rep\.(\d+)\.conv1\.weight$", k))})
+        bn_idx = sorted({int(m.group(1)) for k in sd
+                         if (m := re.match(rf"{pre}\.rep\.(\d+)\.running_mean$", k))})
+        bp: Dict[str, Any] = {"rep": []}
+        bs: Dict[str, Any] = {"rep": []}
+        for si, bi in zip(sep_idx, bn_idx):
+            bnp, bns = _bn(sd, f"{pre}.rep.{bi}")
+            bp["rep"].append({"sep": _sep(sd, f"{pre}.rep.{si}"), "bn": bnp})
+            bs["rep"].append({"bn": bns})
+        if f"{pre}.skip.weight" in sd:
+            bp["skip"] = {"w": conv_w(sd[f"{pre}.skip.weight"])}
+            bp["skipbn"], bs["skipbn"] = _bn(sd, f"{pre}.skipbn")
+        p[pre], s[pre] = bp, bs
+
+    p["conv3"] = _sep(sd, "conv3")
+    p["bn3"], s["bn3"] = _bn(sd, "bn3")
+    p["conv4"] = _sep(sd, "conv4")
+    p["bn4"], s["bn4"] = _bn(sd, "bn4")
+    head = "last_linear" if "last_linear.weight" in sd else "fc"
+    if f"{head}.weight" in sd:
+        p["fc"] = {"w": linear_w(sd[f"{head}.weight"]),
+                   "b": vec(sd[f"{head}.bias"])}
+    return p, s
+
+
+# ---------------------------------------------------------------------------
+# DSTTr / ISTVT transformer
+
+
+def _prenorm(sd, prefix):
+    return {"scale": vec(sd[f"{prefix}.norm.weight"]),
+            "bias": vec(sd[f"{prefix}.norm.bias"])}
+
+
+def _lin(sd, prefix, bias=True):
+    p = {"w": linear_w(sd[f"{prefix}.weight"])}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = vec(sd[f"{prefix}.bias"])
+    return p
+
+
+def dsttr_from_torch(sd: Mapping[str, Any], depth: int = 12):
+    """Convert a torch DSTTr state_dict (reference network/vivit/vivit.py:103-148
+    composed of module.py attention blocks) to our params pytree.
+
+    Expected torch module tree:
+      pos_embedding, space_token, temporal_token,
+      transformer.layers.{i}.0 = PreNorm(TemporalResidualAttention)
+      transformer.layers.{i}.1 = PreNorm(SpatialOnlyAttention)
+      transformer.layers.{i}.2 = PreNorm(FeedForward)
+      transformer.norm, mlp_head.0 (LayerNorm), mlp_head.1 (Linear)
+    """
+    sd = dict(sd)
+    p: Dict[str, Any] = {
+        "pos_embedding": vec(sd["pos_embedding"]),
+        "space_token": vec(sd["space_token"]),
+        "temporal_token": vec(sd["temporal_token"]),
+        "layers": [],
+    }
+    for i in range(depth):
+        pre = f"transformer.layers.{i}"
+        layer = {
+            "attn_t": {
+                "norm": _prenorm(sd, f"{pre}.0"),
+                "to_qk": _lin(sd, f"{pre}.0.fn.to_qk", bias=False),
+                "to_v": _lin(sd, f"{pre}.0.fn.to_v", bias=False),
+                "to_out": _lin(sd, f"{pre}.0.fn.to_out.0"),
+            },
+            "attn_s": {
+                "norm": _prenorm(sd, f"{pre}.1"),
+                "to_qkv": _lin(sd, f"{pre}.1.fn.to_qkv", bias=False),
+                "to_out": _lin(sd, f"{pre}.1.fn.to_out.0"),
+            },
+            "ff": {
+                "norm": _prenorm(sd, f"{pre}.2"),
+                "fc1": _lin(sd, f"{pre}.2.fn.net.0"),
+                "fc2": _lin(sd, f"{pre}.2.fn.net.3"),
+            },
+        }
+        p["layers"].append(layer)
+    p["norm"] = {"scale": vec(sd["transformer.norm.weight"]),
+                 "bias": vec(sd["transformer.norm.bias"])}
+    p["mlp_head"] = {
+        "norm": {"scale": vec(sd["mlp_head.0.weight"]),
+                 "bias": vec(sd["mlp_head.0.bias"])},
+        "fc": _lin(sd, "mlp_head.1"),
+    }
+    return p
+
+
+def istvt_from_torch(sd: Mapping[str, Any], depth: int = 12):
+    """Full XceptionVidTr (reference vivit.py:193-208): 'xcep.model.*' stem
+    (TransferModel wraps Xception as .model, reference models_copy.py:40-47)
+    + 'vit.*' DSTTr."""
+    sd = dict(sd)
+    xcep_sd = {}
+    for k, v in sd.items():
+        if k.startswith("xcep.model."):
+            xcep_sd[k[len("xcep.model."):]] = v
+        elif k.startswith("xcep."):
+            xcep_sd[k[len("xcep."):]] = v
+    vit_sd = {k[len("vit."):]: v for k, v in sd.items() if k.startswith("vit.")}
+    xp, xs = xception_from_torch(xcep_sd)
+    vp = dsttr_from_torch(vit_sd, depth=depth)
+    return {"xcep": xp, "vit": vp}, {"xcep": xs}

@@ -1,0 +1,88 @@
+"""Typed configuration for the whole framework.
+
+The reference drives everything through 38 argparse flags duplicated across
+three scripts (reference train_CNN.py:1016-1058, visualize_rel.py:302-343,
+visualize_feat_map.py:289-330). Here a single set of frozen dataclasses is
+consumed by train / eval / visualize / bench alike.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ISTVTConfig:
+    """Geometry of the ISTVT model (reference network/vivit/vivit.py:103-208).
+
+    Defaults reproduce the paper model: 6-frame 300x300 clips, Xception entry
+    flow to a 19x19x728 feature map, 12 decomposed spatial-temporal layers,
+    8 heads x 64 dim_head, one output logit.
+    """
+
+    num_frames: int = 6            # T (reference vivit.py:201)
+    image_size: int = 300          # input H=W (reference train_CNN.py:1049)
+    feat_hw: int = 19              # Xception low-level feature grid (300->19)
+    dim: int = 728                 # token dim == Xception channel count
+    depth: int = 12
+    heads: int = 8
+    dim_head: int = 64
+    mlp_ratio: int = 4             # scale_dim (reference vivit.py:122)
+    num_classes: int = 1           # single BCE logit (train_CNN.py:148)
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    # compute knobs (not in reference; TPU-first additions)
+    use_pallas: bool = False       # fused Pallas attention kernels
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # set "bfloat16" for the fast path
+
+    @property
+    def tokens_per_frame(self) -> int:
+        # hw patches + 1 spatial CLS (reference vivit.py:136-138)
+        return self.feat_hw * self.feat_hw + 1
+
+    @property
+    def inner_dim(self) -> int:
+        return self.heads * self.dim_head
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. axis 'data' = DP (batch), axis 'model' = TP."""
+
+    data: int = -1   # -1: all devices on the data axis
+    model: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Host-side clip pipeline settings (reconstructing the external
+    `dataset` package's call-site API, reference train_CNN.py:162-177)."""
+
+    root: str = ""
+    quality: str = "hq"             # 'hq' | 'lq'
+    seq_len: int = 6
+    input_size: int = 300
+    batch_size: int = 16
+    num_workers: int = 8
+    mode: str = "Train"             # 'Train' | 'Test' | 'Vis'
+    normalize_mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    normalize_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    dataset: str = "ff++"           # 'ff++' | 'celeb' | 'oulu' | 'synthetic'
+    dataset_len: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model_name: str = "istvt"
+    num_epochs: int = 40
+    base_lr: float = 5e-4           # reference manual schedule train_CNN.py:209-211
+    optimizer: str = "adamw"        # 'adamw' | 'sgd'
+    weight_decay: float = 0.01      # torch AdamW default
+    momentum: float = 0.9
+    seed: int = 0
+    warmup_epochs: int = 20
+    checkpoint_dir: str = "./output"
+    log_every: int = 1000           # reference prints every 1000 iters
+    sync_bn: bool = True            # global-batch BN stats under the mesh
+    debug_nans: bool = False

@@ -1,0 +1,181 @@
+"""Xception backbone (TPU-native re-implementation).
+
+Architecture parity with the reference's three near-identical copies
+(reference network/xception.py:104-220, network/xception_for_dualnet.py,
+network/vivit/xception.py) — collapsed into ONE parameterized model with
+stage-sliced accessors:
+
+  * ``features``            conv1..conv4/bn4          (xception.py:161-191)
+  * ``low_level_features``  conv1..block3 -> 19x19x728 (xception.py:193-206)
+                            — the ISTVT stem
+  * ``mid_features(k)``     conv1..block{k} — generalizes the DualNet stage
+                            slices fea_0_7/fea_8_12 (xception_for_dualnet.py:215-284)
+  * ``logits``              relu -> GAP -> fc          (xception.py:208-215)
+
+Activations are NHWC. Entry flow on 300x300: 300 ->conv1 s2 p0-> 149
+->conv2 k3 p0-> 147 ->block1 s2-> 74 ->block2 s2-> 37 ->block3 s2-> 19.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.nn.layers import (
+    batchnorm,
+    batchnorm_init,
+    conv2d,
+    conv2d_init,
+    global_avg_pool,
+    linear,
+    linear_init,
+    max_pool2d,
+    relu,
+    separable_conv2d,
+    separable_conv2d_init,
+)
+
+# (in, out, reps, stride, start_with_relu, grow_first) per block,
+# mirroring reference network/xception.py:126-140.
+BLOCK_SPECS: Tuple[Tuple[int, int, int, int, bool, bool], ...] = (
+    (64, 128, 2, 2, False, True),
+    (128, 256, 2, 2, True, True),
+    (256, 728, 2, 2, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 728, 3, 1, True, True),
+    (728, 1024, 2, 2, True, False),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class XceptionConfig:
+    num_classes: int = 1000
+    in_channels: int = 3          # 15 for the frame-stack 'xception_concat'
+                                  # variant (reference xception.py:224-343)
+    low_level_through: int = 3    # low_level_features runs blocks 1..k;
+                                  # 3 for ISTVT, 9 for Xception_concat (:311-330)
+
+
+def _block_filters(spec):
+    """Channel sizes of the sepconv sequence inside a block."""
+    in_f, out_f, reps, _, _, _ = spec
+    sizes = []
+    if spec[5]:  # grow_first
+        sizes.append((in_f, out_f))
+        sizes += [(out_f, out_f)] * (reps - 1)
+    else:
+        sizes += [(in_f, in_f)] * (reps - 1)
+        sizes.append((in_f, out_f))
+    return sizes
+
+
+def block_init(key, spec):
+    in_f, out_f, reps, stride, _, _ = spec
+    keys = jax.random.split(key, reps + 1)
+    p, s = {"rep": []}, {"rep": []}
+    for i, (ci, co) in enumerate(_block_filters(spec)):
+        bp, bs = batchnorm_init(co)
+        p["rep"].append({"sep": separable_conv2d_init(keys[i], ci, co), "bn": bp})
+        s["rep"].append({"bn": bs})
+    if out_f != in_f or stride != 1:
+        p["skip"] = conv2d_init(keys[-1], in_f, out_f, 1)
+        p["skipbn"], sk = batchnorm_init(out_f)
+        s["skipbn"] = sk
+    return p, s
+
+
+def block_apply(p, s, x, spec, train: bool):
+    """Residual sepconv block (reference network/xception.py:52-101)."""
+    _, _, _, stride, start_with_relu, _ = spec
+    y = x
+    ns = {"rep": []}
+    for i, unit in enumerate(p["rep"]):
+        if i > 0 or start_with_relu:
+            y = relu(y)
+        y = separable_conv2d(unit["sep"], y, stride=1, padding=1)
+        y, bs = batchnorm(unit["bn"], s["rep"][i]["bn"], y, train)
+        ns["rep"].append({"bn": bs})
+    if stride != 1:
+        y = max_pool2d(y, 3, stride, 1)
+    if "skip" in p:
+        skip = conv2d(p["skip"], x, stride=stride, padding=0)
+        skip, sk = batchnorm(p["skipbn"], s["skipbn"], skip, train)
+        ns["skipbn"] = sk
+    else:
+        skip = x
+    return y + skip, ns
+
+
+def init(key, cfg: XceptionConfig = XceptionConfig()):
+    keys = jax.random.split(key, 20)
+    p, s = {}, {}
+    p["conv1"] = conv2d_init(keys[0], cfg.in_channels, 32, 3)
+    p["bn1"], s["bn1"] = batchnorm_init(32)
+    p["conv2"] = conv2d_init(keys[1], 32, 64, 3)
+    p["bn2"], s["bn2"] = batchnorm_init(64)
+    for i, spec in enumerate(BLOCK_SPECS):
+        bp, bs = block_init(keys[2 + i], spec)
+        p[f"block{i + 1}"], s[f"block{i + 1}"] = bp, bs
+    p["conv3"] = separable_conv2d_init(keys[14], 1024, 1536)
+    p["bn3"], s["bn3"] = batchnorm_init(1536)
+    p["conv4"] = separable_conv2d_init(keys[15], 1536, 2048)
+    p["bn4"], s["bn4"] = batchnorm_init(2048)
+    p["fc"] = linear_init(keys[16], 2048, cfg.num_classes)
+    return p, s
+
+
+def _entry(p, s, x, train):
+    ns = {}
+    x = conv2d(p["conv1"], x, stride=2, padding=0)
+    x, ns["bn1"] = batchnorm(p["bn1"], s["bn1"], x, train)
+    x = relu(x)
+    x = conv2d(p["conv2"], x, stride=1, padding=0)
+    x, ns["bn2"] = batchnorm(p["bn2"], s["bn2"], x, train)
+    x = relu(x)
+    return x, ns
+
+
+def mid_features(p, s, x, through_block: int, train: bool = False):
+    """conv1..block{through_block}. through=3 is the ISTVT stem
+    (reference network/xception.py:193-206)."""
+    x, ns = _entry(p, s, x, train)
+    for i in range(1, through_block + 1):
+        name = f"block{i}"
+        x, ns[name] = block_apply(p[name], s[name], x, BLOCK_SPECS[i - 1], train)
+    return x, ns
+
+
+def low_level_features(p, s, x, train: bool = False,
+                       cfg: XceptionConfig = XceptionConfig()):
+    return mid_features(p, s, x, cfg.low_level_through, train)
+
+
+def features(p, s, x, train: bool = False):
+    """Full feature extractor conv1..bn4 (reference xception.py:161-191)."""
+    x, ns = mid_features(p, s, x, 12, train)
+    x = separable_conv2d(p["conv3"], x, stride=1, padding=1)
+    x, ns["bn3"] = batchnorm(p["bn3"], s["bn3"], x, train)
+    x = relu(x)
+    x = separable_conv2d(p["conv4"], x, stride=1, padding=1)
+    x, ns["bn4"] = batchnorm(p["bn4"], s["bn4"], x, train)
+    return x, ns
+
+
+def logits(p, x):
+    """relu -> GAP -> fc (reference xception.py:208-215)."""
+    x = relu(x)
+    x = global_avg_pool(x)
+    return linear(p["fc"], x)
+
+
+def forward(p, s, x, train: bool = False):
+    f, ns = features(p, s, x, train)
+    return logits(p, f), ns

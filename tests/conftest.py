@@ -1,0 +1,37 @@
+"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax import.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count), per SURVEY.md §4(c). Set
+ISTVT_TEST_TPU=1 to run the suite on real accelerators instead.
+"""
+import os
+import sys
+
+if not os.environ.get("ISTVT_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE = "/root/reference"
+
+import pytest  # noqa: E402
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE)
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    if not has_reference():
+        pytest.skip("reference repo not mounted")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    return REFERENCE
