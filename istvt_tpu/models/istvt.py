@@ -1,0 +1,228 @@
+"""ISTVT — Interpretable Spatial-Temporal Video Transformer.
+
+TPU-native re-implementation of the reference's flagship model
+(XceptionVidTr, reference network/vivit/vivit.py:193-208):
+
+  clips (B, T, 300, 300, 3)
+    -> Xception low_level_features per frame -> (B, T, 19, 19, 728)
+    -> DSTTr (decomposed spatial-temporal transformer, vivit.py:103-148):
+         tokens = channels at each spatial position (no patch projection),
+         per-frame spatial CLS prepended, learned pos-embedding added,
+         a temporal-CLS *frame* concatenated -> grid (T+1) x 362,
+         12 x [x = attn_s(attn_t(x)) + x; x = ff(x) + x]   (vivit.py:97-100)
+         with attn_t = self-subtract TemporalResidualAttention and
+         attn_s = per-frame SpatialOnlyAttention (module.py:66-93,174-208)
+    -> classification from x[:, 0, 0] (temporal-CLS ∩ spatial-CLS row)
+    -> LayerNorm + Linear head -> 1 logit.
+
+Interpretability hooks: `apply(..., return_attn=True)` returns every
+layer's post-softmax attention maps, and `attn_bias` lets callers inject
+zero-valued perturbations whose gradients are d logit / d attention —
+the inputs to the LRP-style relevance rollout (istvt_tpu/interpret/lrp.py),
+replacing the reference's external `tfe` hook machinery (SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.core.config import ISTVTConfig
+from istvt_tpu.models import xception
+from istvt_tpu.nn import attention as A
+from istvt_tpu.nn.layers import (
+    dropout,
+    gelu,
+    layernorm,
+    layernorm_init,
+    linear,
+    linear_init,
+)
+
+
+# ---------------------------------------------------------------------------
+# DSTTr
+
+
+def dsttr_init(key, cfg: ISTVTConfig):
+    """Parameters for the decomposed ST transformer (vivit.py:103-130)."""
+    d, inner = cfg.dim, cfg.inner_dim
+    n1 = cfg.tokens_per_frame
+    keys = jax.random.split(key, cfg.depth + 5)
+    p: Dict[str, Any] = {
+        # torch.randn inits (vivit.py:119-121)
+        "pos_embedding": jax.random.normal(keys[0], (1, cfg.num_frames, n1, d)),
+        "space_token": jax.random.normal(keys[1], (1, 1, d)),
+        "temporal_token": jax.random.normal(keys[2], (1, 1, d)),
+        "layers": [],
+    }
+    for i in range(cfg.depth):
+        lk = jax.random.split(keys[3 + i], 8)
+        layer = {
+            "attn_t": {
+                "norm": layernorm_init(d),
+                "to_qk": linear_init(lk[0], d, inner * 2, bias=False),
+                "to_v": linear_init(lk[1], d, inner, bias=False),
+                "to_out": linear_init(lk[2], inner, d),
+            },
+            "attn_s": {
+                "norm": layernorm_init(d),
+                "to_qkv": linear_init(lk[3], d, inner * 3, bias=False),
+                "to_out": linear_init(lk[4], inner, d),
+            },
+            "ff": {
+                "norm": layernorm_init(d),
+                "fc1": linear_init(lk[5], d, d * cfg.mlp_ratio),
+                "fc2": linear_init(lk[6], d * cfg.mlp_ratio, d),
+            },
+        }
+        p["layers"].append(layer)
+    p["norm"] = layernorm_init(d)
+    p["mlp_head"] = {"norm": layernorm_init(d),
+                     "fc": linear_init(keys[-1], d, cfg.num_classes)}
+    return p
+
+
+def _feed_forward(p, x, cfg: ISTVTConfig, train: bool, rng):
+    """GELU MLP dim -> 4*dim -> dim (reference module.py:23-34)."""
+    k1 = k2 = None
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
+    h = linear(p["fc1"], x)
+    h = gelu(h)
+    h = dropout(k1, h, cfg.dropout, train)
+    h = linear(p["fc2"], h)
+    h = dropout(k2, h, cfg.dropout, train)
+    return h
+
+
+def dsttr_apply(
+    p,
+    feats: jax.Array,
+    cfg: ISTVTConfig,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    attn_bias: Optional[Dict[str, List[jax.Array]]] = None,
+    return_attn: bool = False,
+):
+    """feats: (B, T, H, W, C) per-frame feature maps -> (B, num_classes).
+
+    Follows reference vivit.py:132-148 exactly; see module docstring.
+    """
+    b, t, hh, ww, d = feats.shape
+    n = hh * ww
+    s = n + 1
+    x = feats.reshape(b, t, n, d)  # 'b t h w c -> b t (h w) c'
+
+    cls_space = jnp.broadcast_to(p["space_token"].astype(x.dtype), (b, t, 1, d))
+    x = jnp.concatenate([cls_space, x], axis=2)              # (b, t, s, d)
+    # reference slices only the token axis (vivit.py:138); we also slice t so
+    # shorter clips than the configured num_frames degrade gracefully
+    x = x + p["pos_embedding"][:, :t, :s].astype(x.dtype)
+    cls_temporal = jnp.broadcast_to(
+        p["temporal_token"].astype(x.dtype)[:, :, None, :], (b, 1, s, d))
+    x = jnp.concatenate([cls_temporal, x], axis=1)            # (b, t+1, s, d)
+    x = x.reshape(b, (t + 1) * s, d)
+
+    attns: Dict[str, List[jax.Array]] = {"t": [], "s": []}
+    for i, layer in enumerate(p["layers"]):
+        lrng = None
+        if rng is not None:
+            rng, lrng = jax.random.split(rng)
+            lrng, frng = jax.random.split(lrng)
+        else:
+            frng = None
+        bias_t = attn_bias["t"][i] if attn_bias is not None else None
+        bias_s = attn_bias["s"][i] if attn_bias is not None else None
+
+        # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
+        hn_t = layernorm(layer["attn_t"]["norm"], x)
+        out_t, at = A.temporal_residual_attention(
+            layer["attn_t"], hn_t, cfg.heads, s, return_attn=True)
+        if bias_t is not None:
+            # re-run the value mix with the perturbed probs so grads flow
+            at = at + bias_t
+            out_t = _remix_temporal(layer["attn_t"], hn_t, at, cfg.heads, s)
+        hn_s = layernorm(layer["attn_s"]["norm"], out_t)
+        out_s, asp = A.spatial_only_attention(
+            layer["attn_s"], hn_s, cfg.heads, s, return_attn=True)
+        if bias_s is not None:
+            asp = asp + bias_s
+            out_s = _remix_spatial(layer["attn_s"], hn_s, asp, cfg.heads, s)
+        x = out_s + x
+        f = _feed_forward(layer["ff"],
+                          layernorm(layer["ff"]["norm"], x), cfg, train, frng)
+        x = f + x
+        if return_attn:
+            attns["t"].append(at)
+            attns["s"].append(asp)
+
+    x = layernorm(p["norm"], x)
+    x = x.reshape(b, t + 1, s, d)
+    cls = x[:, 0, 0]                                         # (vivit.py:146)
+    out = layernorm(p["mlp_head"]["norm"], cls)
+    out = linear(p["mlp_head"]["fc"], out)
+    return (out, attns) if return_attn else out
+
+
+def _remix_temporal(p, xn, attn, heads, s):
+    """Recompute the temporal attention output from given (perturbed) probs.
+    xn is the same PreNorm'd input the original pass saw; V comes from it
+    (reference module.py:183,196)."""
+    b, n, d = xn.shape
+    t1 = n // s
+    v = linear(p["to_v"], xn)
+    v = v.reshape(b, t1, s, heads, -1).transpose(0, 3, 2, 1, 4)
+    out = jnp.einsum("...ij,...jd->...id", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = out.transpose(0, 3, 2, 1, 4).reshape(b, n, -1)
+    return linear(p["to_out"], out)
+
+
+def _remix_spatial(p, xn, attn, heads, s):
+    """Recompute the spatial attention output from given (perturbed) probs."""
+    b, n, d = xn.shape
+    t1 = n // s
+    qkv = linear(p["to_qkv"], xn)
+    _, _, v = jnp.split(qkv, 3, axis=-1)
+    v = v.reshape(b, t1, s, heads, -1).transpose(0, 3, 1, 2, 4)
+    out = jnp.einsum("...ij,...jd->...id", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(b, n, -1)
+    return linear(p["to_out"], out)
+
+
+# ---------------------------------------------------------------------------
+# Full model: Xception stem + DSTTr
+
+
+def init(key, cfg: ISTVTConfig = ISTVTConfig()):
+    k1, k2 = jax.random.split(key)
+    xp, xs = xception.init(k1, xception.XceptionConfig(num_classes=2))
+    vp = dsttr_init(k2, cfg)
+    return {"xcep": xp, "vit": vp}, {"xcep": xs}
+
+
+def apply(params, state, clips, cfg: ISTVTConfig = ISTVTConfig(),
+          train: bool = False, rng: Optional[jax.Array] = None,
+          attn_bias=None, return_attn: bool = False):
+    """clips: (B, T, H, W, 3) NHWC -> (logits (B, num_classes), new_state).
+
+    Mirrors XceptionVidTr.forward (reference vivit.py:202-208): frames are
+    folded into the batch for the per-frame CNN stem, then unfolded for the
+    spatio-temporal transformer.
+    """
+    b, t, hh, ww, c = clips.shape
+    x = clips.reshape(b * t, hh, ww, c)
+    feats, ns = xception.low_level_features(params["xcep"], state["xcep"], x,
+                                            train)
+    fh = feats.shape[1]
+    feats = feats.reshape(b, t, fh, fh, feats.shape[-1])
+    out = dsttr_apply(params["vit"], feats, cfg, train=train, rng=rng,
+                      attn_bias=attn_bias, return_attn=return_attn)
+    new_state = {"xcep": ns}
+    if return_attn:
+        logits, attns = out
+        return (logits, attns), new_state
+    return out, new_state

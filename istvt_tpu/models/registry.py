@@ -32,6 +32,7 @@ def register(name: str):
 
 
 def available_models():
+    from istvt_tpu.models import zoo  # noqa: F401  (trigger registrations)
     return sorted(_REGISTRY)
 
 

@@ -1,1 +1,117 @@
-"""Model zoo registrations. Filled in as model families land."""
+"""Model zoo registrations (reference registry keys: network/models.py:36-182).
+
+Each builder returns a `Model` bundle. Clip models take (B, T, H, W, 3) NHWC
+clips; frame models take (B, H, W, 3) images.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.core.config import ISTVTConfig
+from istvt_tpu.models import istvt as istvt_mod
+from istvt_tpu.models import vivit as vivit_mod
+from istvt_tpu.models import xception as xception_mod
+from istvt_tpu.models.registry import Model, register
+from istvt_tpu.nn.layers import dropout as _dropout
+from istvt_tpu.nn.layers import global_avg_pool, linear, linear_init, relu
+
+
+def _istvt_builder(name: str):
+    def build(num_out_classes=1, dropout=0.5, cfg: ISTVTConfig = None, **kw):
+        cfg = cfg or ISTVTConfig(num_classes=num_out_classes)
+
+        def apply(params, state, clips, train=False, rng=None, **akw):
+            return istvt_mod.apply(params, state, clips, cfg, train=train,
+                                   rng=rng, **akw)
+
+        return Model(name=name, config=cfg,
+                     init=lambda rng: istvt_mod.init(rng, cfg),
+                     apply=apply)
+    return build
+
+
+# 'istvt' is our canonical name; 'resnet_3d' is the reference's registry key
+# for the trained ISTVT (reference models.py:180, models_copy.py:175).
+register("istvt")(_istvt_builder("istvt"))
+register("resnet_3d")(_istvt_builder("resnet_3d"))
+
+
+def _stem_transformer_builder(name, init_fn, apply_fn):
+    """ViViT / VanillaTr over the shared Xception low-level stem, the same
+    composition as XceptionVidTr (reference vivit.py:193-208)."""
+    def build(num_out_classes=1, dropout=0.5, cfg: ISTVTConfig = None, **kw):
+        cfg = cfg or ISTVTConfig(num_classes=num_out_classes)
+
+        def init(rng):
+            k1, k2 = jax.random.split(rng)
+            xp, xs = xception_mod.init(
+                k1, xception_mod.XceptionConfig(num_classes=2))
+            return {"xcep": xp, "vit": init_fn(k2, cfg)}, {"xcep": xs}
+
+        def apply(params, state, clips, train=False, rng=None):
+            b, t, hh, ww, c = clips.shape
+            x = clips.reshape(b * t, hh, ww, c)
+            feats, ns = xception_mod.low_level_features(
+                params["xcep"], state["xcep"], x, train)
+            fh = feats.shape[1]
+            feats = feats.reshape(b, t, fh, fh, feats.shape[-1])
+            out = apply_fn(params["vit"], feats, cfg, train=train, rng=rng)
+            return out, {"xcep": ns}
+
+        return Model(name=name, config=cfg, init=init, apply=apply)
+    return build
+
+
+register("vivit")(_stem_transformer_builder(
+    "vivit", vivit_mod.vivit_init, vivit_mod.vivit_apply))
+register("vanilla_tr")(_stem_transformer_builder(
+    "vanilla_tr", vivit_mod.vanilla_tr_init, vivit_mod.vanilla_tr_apply))
+
+
+@register("xception")
+def _xception(num_out_classes=2, dropout=0.5, **kw):
+    """Per-frame Xception classifier: the reference TransferModel replaces
+    the fc head with Dropout + Linear(2048, num_out_classes)
+    (reference models.py:40-47)."""
+    cfg = xception_mod.XceptionConfig(num_classes=num_out_classes)
+
+    def init(rng):
+        p, s = xception_mod.init(rng, cfg)
+        return p, s
+
+    def apply(params, state, images, train=False, rng=None):
+        feats, ns = xception_mod.features(params, state, images, train)
+        x = relu(feats)
+        x = global_avg_pool(x)
+        x = _dropout(rng, x, dropout, train)
+        return linear(params["fc"], x), ns
+
+    extras = {
+        "features": lambda p, s, x, train=False: xception_mod.features(p, s, x, train),
+        "low_level_features": lambda p, s, x, train=False:
+            xception_mod.low_level_features(p, s, x, train),
+    }
+    return Model(name="xception", config=cfg, init=init, apply=apply,
+                 extras=extras)
+
+
+@register("xception_concat")
+def _xception_concat(num_out_classes=2, dropout=0.5, **kw):
+    """15-channel frame-stack variant (reference xception.py:224-343):
+    5 frames concatenated on channels; low_level_features runs through
+    block9."""
+    cfg = xception_mod.XceptionConfig(num_classes=num_out_classes,
+                                      in_channels=15, low_level_through=9)
+
+    def init(rng):
+        return xception_mod.init(rng, cfg)
+
+    def apply(params, state, images, train=False, rng=None):
+        feats, ns = xception_mod.features(params, state, images, train)
+        x = relu(feats)
+        x = global_avg_pool(x)
+        x = _dropout(rng, x, dropout, train)
+        return linear(params["fc"], x), ns
+
+    return Model(name="xception_concat", config=cfg, init=init, apply=apply)
