@@ -1,0 +1,102 @@
+"""Training / evaluation steps as pure jittable functions.
+
+One train step replaces the reference's per-iteration body
+(reference train_CNN.py:495-549): forward, BCE-with-logits loss, backward,
+optimizer update, running metrics — compiled as a single XLA program over
+the device mesh. Gradients reduce over the 'data' axis automatically via
+sharding propagation (the SPMD analog of DataParallel's gather,
+train_CNN.py:185-186).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from istvt_tpu.core.config import TrainConfig
+from istvt_tpu.train import losses, metrics
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    model_state: Any          # batchnorm running stats etc.
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(tc: TrainConfig, schedule) -> optax.GradientTransformation:
+    """AdamW or SGD(+momentum), matching reference train_CNN.py:198-202."""
+    if tc.optimizer == "adamw":
+        return optax.adamw(schedule, weight_decay=tc.weight_decay)
+    if tc.optimizer == "sgd":
+        return optax.sgd(schedule, momentum=tc.momentum)
+    raise ValueError(f"unknown optimizer {tc.optimizer}")
+
+
+def create_train_state(model, rng, optimizer) -> TrainState:
+    params, mstate = model.init(rng)
+    return TrainState(params=params, model_state=mstate,
+                      opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable = None,
+    donate: bool = True,
+):
+    """Returns jitted step(ts, batch, rng) -> (ts, metrics_dict).
+
+    batch: {'clips': (B,T,H,W,3) or 'images': (B,H,W,3), 'labels': (B,)}.
+    """
+    loss_fn = loss_fn or (lambda logits, batch:
+                          losses.bce_with_logits(logits, batch["labels"]))
+
+    def compute_loss(params, model_state, batch, rng):
+        x = batch.get("clips", batch.get("images"))
+        logits, new_state = model.apply(params, model_state, x,
+                                        train=True, rng=rng)
+        loss = loss_fn(logits, batch)
+        return loss, (new_state, logits)
+
+    def step(ts: TrainState, batch, rng):
+        (loss, (new_state, logits)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(ts.params, ts.model_state, batch, rng)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        m = {
+            "loss": loss,
+            "accuracy": metrics.accuracy(logits, batch["labels"]),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params=params, model_state=new_state,
+                          opt_state=opt_state, step=ts.step + 1), m
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model):
+    """jitted eval(params, model_state, batch) -> per-batch sufficient stats
+    (reference eval loop train_CNN.py:837-984, no_grad threshold-at-0)."""
+
+    def step(params, model_state, batch):
+        x = batch.get("clips", batch.get("images"))
+        logits, _ = model.apply(params, model_state, x, train=False)
+        flat = logits.reshape(-1)
+        labels = batch["labels"].reshape(-1)
+        out = {
+            "logits": flat,
+            "labels": labels,
+            "correct": (metrics.binary_predictions(flat)
+                        == labels.astype(jnp.int32)).astype(jnp.float32),
+        }
+        out.update(metrics.confusion_counts(flat, labels))
+        return out
+
+    return jax.jit(step)

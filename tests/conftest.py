@@ -14,6 +14,12 @@ if not os.environ.get("ISTVT_TEST_TPU"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # A sitecustomize may have force-registered an accelerator plugin via
+    # jax.config.update("jax_platforms", ...), which overrides the env var —
+    # override it back so tests run on the 8-device virtual CPU mesh.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -1,0 +1,110 @@
+"""Train-step + sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4(c): multi-chip tests without a pod)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from istvt_tpu.core.config import ISTVTConfig, TrainConfig
+from istvt_tpu.core.mesh import make_mesh
+from istvt_tpu.models.registry import model_selection
+from istvt_tpu.parallel import sharding as shd
+from istvt_tpu.train import step as train_step
+from istvt_tpu.train.schedule import cosine_schedule, reference_epoch_schedule
+
+TINY = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=1,
+                   num_classes=1)
+
+
+def _batch(bs=8):
+    rng = np.random.RandomState(0)
+    return {
+        "clips": jnp.asarray(rng.randn(
+            bs, TINY.num_frames, TINY.image_size, TINY.image_size, 3
+        ).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 2, size=bs)),
+    }
+
+
+def test_train_step_runs_and_learns():
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    # small constant lr: each step must move downhill on the fixed batch
+    tc = TrainConfig(optimizer="sgd", momentum=0.0)
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-4, 10_000_000))
+    ts = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    step_fn = train_step.make_train_step(model, opt, donate=False)
+    batch = _batch()
+    losses = []
+    for _ in range(4):
+        ts, m = step_fn(ts, batch, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # overfitting a fixed batch with a small step must reduce the loss
+    assert losses[-1] < losses[0], losses
+    assert int(ts.step) == 4
+
+
+def test_train_step_sharded_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    tc = TrainConfig()
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-3, 100))
+    ts0 = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    step_fn = train_step.make_train_step(model, opt, donate=False)
+    batch = _batch()
+    rng = jax.random.PRNGKey(42)
+
+    _, m_single = step_fn(ts0, batch, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    ts_sh = train_step.TrainState(
+        params=shd.place(ts0.params, shd.param_shardings(ts0.params, mesh)),
+        model_state=shd.place(
+            ts0.model_state, shd.replicated_shardings(ts0.model_state, mesh)),
+        opt_state=jax.device_put(ts0.opt_state),
+        step=ts0.step,
+    )
+    sbatch = shd.place(batch, shd.batch_shardings(batch, mesh))
+    _, m_sharded = step_fn(ts_sh, sbatch, rng)
+
+    # same math, different partitioning: loss/acc must agree closely
+    assert abs(float(m_single["loss"]) - float(m_sharded["loss"])) < 1e-4
+    assert abs(float(m_single["accuracy"]) - float(m_sharded["accuracy"])) < 1e-6
+
+
+def test_param_pspecs_tensor_parallel_rules():
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    specs = shd.param_pspecs(params)
+    layer = specs["vit"]["layers"][0]
+    assert layer["attn_t"]["to_qk"]["w"] == P(None, "model")
+    assert layer["attn_t"]["to_v"]["w"] == P(None, "model")
+    assert layer["attn_t"]["to_out"]["w"] == P("model", None)
+    assert layer["attn_s"]["to_qkv"]["w"] == P(None, "model")
+    assert layer["ff"]["fc1"]["w"] == P(None, "model")
+    assert layer["ff"]["fc2"]["w"] == P("model", None)
+    # conv stem replicated
+    assert specs["xcep"]["conv1"]["w"] == P()
+
+
+def test_reference_epoch_schedule():
+    sched = reference_epoch_schedule(base_lr=5e-4, warmup_epochs=20,
+                                     steps_per_epoch=10)
+    # epoch 0 -> 5e-4; epoch 4 -> 25e-4; epoch 25 -> 25^-1.5
+    assert abs(float(sched(jnp.asarray(0))) - 5e-4) < 1e-9
+    assert abs(float(sched(jnp.asarray(45))) - 5 * 5e-4) < 1e-9
+    assert abs(float(sched(jnp.asarray(250))) - 25 ** -1.5) < 1e-9
+
+
+def test_eval_step_outputs():
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    eval_fn = train_step.make_eval_step(model)
+    out = eval_fn(params, mstate, _batch(4))
+    assert out["logits"].shape == (4,)
+    assert out["correct"].shape == (4,)
+    total = sum(float(out[k]) for k in ("tp", "fp", "tn", "fn"))
+    assert total == 4.0
