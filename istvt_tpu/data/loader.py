@@ -1,0 +1,134 @@
+"""Prefetching clip loader + sharded device feed.
+
+Replaces the reference's `torch.utils.data.DataLoader(bs=16, workers=8)`
+(reference train_CNN.py:176-177) with a thread-pool decoder and a
+double-buffered device feed: while the mesh computes step N, batch N+1 is
+already decoded and transferring H2D, sharded over the 'data' axis
+(the SPMD analog of DataParallel's scatter, train_CNN.py:185-186).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(items: List[Dict]) -> Dict[str, np.ndarray]:
+    """Stack a list of item dicts into one batch dict (paths stay lists)."""
+    out: Dict = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) or \
+                isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[k] = vals
+    return out
+
+
+class ClipLoader:
+    """Iterable over shuffled, decoded, collated batches.
+
+    Per-epoch order is deterministic in (seed, epoch). Decoding fans out
+    over `num_workers` threads (PIL decode releases the GIL); `prefetch`
+    batches are staged ahead of the consumer.
+    """
+
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = True,
+                 drop_last: bool = False, num_workers: int = 8,
+                 prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = max(prefetch, 1)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState((self.seed, self.epoch)).shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        stop = threading.Event()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def device_feed(loader, mesh=None, pad_to_batch: Optional[int] = None):
+    """Wrap a ClipLoader: device_put each batch sharded over the mesh's
+    'data' axis (double-buffered — device transfer of batch N+1 overlaps
+    compute on batch N since device_put is async)."""
+    import jax
+    from istvt_tpu.parallel import sharding as shd
+
+    def put(batch):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in batch.items()
+                if not isinstance(v, np.ndarray)}
+        if pad_to_batch:
+            def pad(x):
+                b = x.shape[0]
+                if b >= pad_to_batch:
+                    return x
+                reps = [(0, pad_to_batch - b)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x, reps)
+            mask = np.arange(pad_to_batch) < arrays["labels"].shape[0]
+            arrays = {k: pad(v) for k, v in arrays.items()}
+            arrays["valid"] = mask
+        if mesh is not None:
+            arrays = shd.place(arrays, shd.batch_shardings(arrays, mesh))
+        else:
+            arrays = jax.device_put(arrays)
+        arrays.update(rest)
+        return arrays
+
+    for batch in loader:
+        yield put(batch)
