@@ -1,0 +1,136 @@
+"""Train/eval CLI — `python -m istvt_tpu.cli.train`.
+
+Flag parity with the reference driver's argparse surface
+(reference train_CNN.py:1016-1058: -mn model name, -sl seq_len, -is input
+size, -bs batch size, -q quality, -d sub_dataset, -tf transform preset,
+--continue_train/-mp resume, --test_mode eval-only), driving ONE typed
+config consumed by the Trainer instead of 30 per-model branches.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("istvt_tpu.train")
+    p.add_argument("--model_name", "-mn", default="istvt",
+                   help="registry key (reference models.py:240-282)")
+    p.add_argument("--seq_len", "-sl", type=int, default=6)
+    p.add_argument("--input_size", "-is", type=int, default=300)
+    p.add_argument("--batch_size", "-bs", type=int, default=16)
+    p.add_argument("--epochs", "-e", type=int, default=40)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--optimizer", choices=["adamw", "sgd"], default="adamw")
+    p.add_argument("--quality", "-q", choices=["hq", "lq"], default="hq")
+    p.add_argument("--dataset", "-d", default="ff++",
+                   choices=["ff++", "celeb", "oulu", "dfdc", "synthetic"])
+    p.add_argument("--data_root", default="")
+    p.add_argument("--transform", "-tf", default="300",
+                   help="preset: 299|256|300|aug|shuffle (train_CNN.py:154-161)")
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--checkpoint_dir", "-o", default="./output")
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--model_path", "-mp", default=None)
+    p.add_argument("--test_mode", action="store_true", help="eval only")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel axis size (DP gets the rest)")
+    p.add_argument("--reference_schedule", action="store_true",
+                   help="use the reference's manual lr rule "
+                        "(train_CNN.py:209-211) instead of cosine")
+    p.add_argument("--dataset_len", type=int, default=None)
+    return p
+
+
+def make_datasets(args):
+    from istvt_tpu.data import (Celeb, OULU, SyntheticVideoDataset,
+                                VideoSeqDataset, select_transform)
+    tf = select_transform(args.transform)
+    if args.dataset == "synthetic":
+        train = SyntheticVideoDataset(args.dataset_len or 64, args.seq_len,
+                                      args.input_size, seed=args.seed)
+        val = SyntheticVideoDataset(16, args.seq_len, args.input_size,
+                                    seed=args.seed + 1)
+        return train, val
+    if args.dataset == "oulu":
+        train = OULU(root=args.data_root, mode="Train", size=args.input_size,
+                     seq_len=args.seq_len, transform=tf["train"],
+                     dataset_len=args.dataset_len)
+        val = OULU(root=args.data_root, mode="Test", size=args.input_size,
+                   seq_len=args.seq_len, transform=tf["val"])
+        return train, val
+    if args.dataset in ("celeb", "dfdc"):
+        train = Celeb(root=args.data_root, mode="Train", size=args.input_size,
+                      seq_len=args.seq_len, transform=tf["train"],
+                      dataset_len=args.dataset_len)
+        val = Celeb(root=args.data_root, mode="Test", size=args.input_size,
+                    seq_len=args.seq_len, transform=tf["val"])
+        return train, val
+    train = VideoSeqDataset(root=args.data_root, quality=args.quality,
+                            transform=tf["train"], size=args.input_size,
+                            mode="Train", seq_len=args.seq_len,
+                            dataset_len=args.dataset_len, seed=args.seed)
+    val = VideoSeqDataset(root=args.data_root, quality=args.quality,
+                          transform=tf["val"], size=args.input_size,
+                          mode="Test", seq_len=args.seq_len,
+                          return_fake_type=True)
+    return train, val
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from istvt_tpu.core.platform import honor_env
+    honor_env()
+
+    from istvt_tpu.core.config import DataConfig, ISTVTConfig, TrainConfig
+    from istvt_tpu.core.mesh import make_mesh
+    from istvt_tpu.data import ClipLoader
+    from istvt_tpu.models.registry import model_selection
+    from istvt_tpu.train.trainer import Trainer, evaluate
+
+    feat_hw = {300: 19, 299: 19, 256: 16, 224: 14, 75: 5, 72: 5}.get(
+        args.input_size, max((args.input_size // 16), 2))
+    cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
+                      feat_hw=feat_hw, dropout=args.dropout)
+    model = model_selection(args.model_name, num_out_classes=1,
+                            dropout=args.dropout, cfg=cfg)
+    tc = TrainConfig(model_name=args.model_name, num_epochs=args.epochs,
+                     base_lr=args.lr, optimizer=args.optimizer,
+                     seed=args.seed, checkpoint_dir=args.checkpoint_dir)
+    dc = DataConfig(root=args.data_root, quality=args.quality,
+                    seq_len=args.seq_len, input_size=args.input_size,
+                    batch_size=args.batch_size, dataset=args.dataset)
+
+    train_ds, val_ds = make_datasets(args)
+    train_loader = ClipLoader(train_ds, batch_size=args.batch_size,
+                              shuffle=True, num_workers=args.num_workers,
+                              seed=args.seed)
+    val_loader = ClipLoader(val_ds, batch_size=args.batch_size,
+                            shuffle=False, num_workers=args.num_workers)
+
+    mesh = make_mesh(model=args.mesh_model)
+    steps_per_epoch = max(len(train_loader), 1)
+    trainer = Trainer(model, tc, dc, mesh=mesh,
+                      steps_per_epoch=steps_per_epoch,
+                      use_reference_schedule=args.reference_schedule)
+
+    ts = trainer.init_state()
+    if args.continue_train or args.test_mode:
+        ts = trainer.restore(ts)
+
+    if args.test_mode:
+        ev = evaluate(model, ts.params, ts.model_state, val_loader, mesh,
+                      compute_acer=args.dataset == "oulu")
+        print({k: round(v, 4) if isinstance(v, float) else v
+               for k, v in ev.items()})
+        return
+
+    trainer.fit(train_loader, val_loader, ts=ts)
+
+
+if __name__ == "__main__":
+    main()

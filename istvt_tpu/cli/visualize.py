@@ -1,0 +1,105 @@
+"""Saliency visualization CLI — `python -m istvt_tpu.cli.visualize`.
+
+The ISTVT interpretability driver (reference visualize_rel.py:46-299):
+for each clip, generate spatial + temporal relevance maps via the LRP
+rollout and write `<frame>_s.png` / `<frame>_t.png` overlays (JET over the
+frame, 19x19 maps upsampled x16 to 304x304; reference :260-294). Also
+covers the feature-relevance dump mode (visualize_feat_map.py:228-236).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("istvt_tpu.visualize")
+    p.add_argument("--model_name", "-mn", default="istvt")
+    p.add_argument("--seq_len", "-sl", type=int, default=6)
+    p.add_argument("--input_size", "-is", type=int, default=300)
+    p.add_argument("--quality", "-q", default="hq")
+    p.add_argument("--data_root", default="")
+    p.add_argument("--dataset", "-d", default="ff++",
+                   choices=["ff++", "synthetic"])
+    p.add_argument("--model_path", "-mp", default=None,
+                   help="orbax checkpoint dir to restore params from")
+    p.add_argument("--out_dir", default="./visualize")
+    p.add_argument("--method", default="transformer_attribution",
+                   choices=["transformer_attribution", "rollout",
+                            "last_layer"])
+    p.add_argument("--index", type=int, default=0,
+                   help="class logit to attribute (visualize_rel.py:257)")
+    p.add_argument("--max_clips", type=int, default=1000,
+                   help="stop after this many clips (visualize_rel.py:295)")
+    p.add_argument("--mode", default="lrp", choices=["lrp", "features"])
+    p.add_argument("--depth", type=int, default=12,
+                   help="transformer depth (12 = paper model)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from istvt_tpu.core.platform import honor_env
+    honor_env()
+
+    import jax
+    from istvt_tpu.core.config import ISTVTConfig
+    from istvt_tpu.data import (SyntheticVideoDataset, Transform,
+                                VideoSeqDataset)
+    from istvt_tpu.interpret import (generate_feature_relevance,
+                                     generate_lrp, render_saliency, save_png)
+    from istvt_tpu.models import istvt
+
+    feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
+        args.input_size, max(args.input_size // 16, 2))
+    cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
+                      feat_hw=feat_hw, depth=args.depth)
+    params, state = istvt.init(jax.random.PRNGKey(0), cfg)
+    if args.model_path:
+        from istvt_tpu.core.checkpoint import load_pytree
+        restored = load_pytree(args.model_path,
+                               {"params": params, "state": state})
+        params, state = restored["params"], restored["state"]
+
+    if args.dataset == "synthetic":
+        ds = SyntheticVideoDataset(min(args.max_clips, 8), args.seq_len,
+                                   args.input_size)
+    else:
+        ds = VideoSeqDataset(root=args.data_root, quality=args.quality,
+                             transform=Transform(args.input_size),
+                             size=args.input_size, mode="Vis",
+                             seq_len=args.seq_len)
+
+    for i in range(min(len(ds), args.max_clips)):
+        item = ds[i]
+        clips = item["clips"][None]       # (1, T, S, S, 3)
+        frames01 = (clips[0] * 0.5 + 0.5)  # un-normalize for overlay
+        names = [os.path.basename(p) for p in item["paths"]] \
+            if "paths" in item else [f"clip{i:05d}_f{t}" for t in
+                                     range(args.seq_len)]
+        if args.mode == "features":
+            rel = np.asarray(generate_feature_relevance(
+                params, state, clips, cfg, index=args.index))[0]
+            for t in range(args.seq_len):
+                m = rel[t] / (rel[t].max() + 1e-12)
+                save_png(os.path.join(args.out_dir, f"{names[t]}_feat.png"),
+                         np.uint8(255 * m))
+            continue
+        cam_s, cam_t = generate_lrp(params, state, clips, cfg,
+                                    index=args.index, method=args.method)
+        cam_s, cam_t = np.asarray(cam_s)[0], np.asarray(cam_t)[0]
+        for t in range(args.seq_len):
+            frame = frames01[t]
+            save_png(os.path.join(args.out_dir, f"{names[t]}_s.png"),
+                     render_saliency(cam_s[t], frame, grid=cfg.feat_hw))
+            save_png(os.path.join(args.out_dir, f"{names[t]}_t.png"),
+                     render_saliency(cam_t[t], frame, grid=cfg.feat_hw))
+        print(f"clip {i}: wrote {2 * args.seq_len} saliency overlays "
+              f"to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

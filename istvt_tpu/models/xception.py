@@ -145,8 +145,13 @@ def _entry(p, s, x, train):
 
 def mid_features(p, s, x, through_block: int, train: bool = False):
     """conv1..block{through_block}. through=3 is the ISTVT stem
-    (reference network/xception.py:193-206)."""
-    x, ns = _entry(p, s, x, train)
+    (reference network/xception.py:193-206).
+
+    State for stages NOT run passes through unchanged so the returned
+    state tree always matches the init tree (stable checkpoints/pjit)."""
+    ns = dict(s)
+    x, ent = _entry(p, s, x, train)
+    ns.update(ent)
     for i in range(1, through_block + 1):
         name = f"block{i}"
         x, ns[name] = block_apply(p[name], s[name], x, BLOCK_SPECS[i - 1], train)

@@ -1,0 +1,144 @@
+"""Training driver: epoch loop + eval + checkpointing.
+
+One typed-config loop replacing the reference's 1058-line `train_CNN.py`
+(per-model branches :236-828, eval :837-984, ckpt :986-1011). Model-specific
+behavior lives in the model/loss objects, not in the loop.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from istvt_tpu.core.checkpoint import CheckpointManager
+from istvt_tpu.core.config import DataConfig, TrainConfig
+from istvt_tpu.core.mesh import make_mesh
+from istvt_tpu.data.loader import ClipLoader, device_feed
+from istvt_tpu.parallel import sharding as shd
+from istvt_tpu.train import metrics as M
+from istvt_tpu.train import step as S
+from istvt_tpu.train.schedule import cosine_schedule, reference_epoch_schedule
+
+
+def evaluate(model, params, model_state, loader, mesh=None,
+             compute_acer: bool = False,
+             num_fake_types: int = 5) -> Dict[str, float]:
+    """Eval pass: accuracy, AUC, optional ACER + per-manipulation accuracy
+    (reference train_CNN.py:837-984; AUC added per BASELINE.md)."""
+    eval_fn = S.make_eval_step(model)
+    logits, labels, ftypes = [], [], []
+    feed = device_feed(loader, mesh) if mesh is not None else iter(loader)
+    for batch in feed:
+        out = eval_fn(params, model_state,
+                      {k: batch[k] for k in ("clips", "images", "labels")
+                       if k in batch})
+        logits.append(np.asarray(out["logits"]))
+        labels.append(np.asarray(out["labels"]))
+        if "fake_types" in batch:
+            ftypes.append(np.asarray(batch["fake_types"]).reshape(-1))
+    logits = np.concatenate(logits)
+    labels = np.concatenate(labels)
+    preds = (logits > 0).astype(np.int32)
+    result = {
+        "accuracy": float((preds == labels).mean()),
+        "auc": float(M.auc(jnp.asarray(logits), jnp.asarray(labels))),
+        "n": int(labels.size),
+    }
+    if compute_acer:
+        c = M.confusion_counts(jnp.asarray(logits), jnp.asarray(labels))
+        result.update({k: float(v) for k, v in M.acer(c).items()})
+    if ftypes:
+        ft = np.concatenate(ftypes)
+        acc_t, cnt = M.per_type_accuracy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(ft),
+            num_types=num_fake_types)
+        for i in range(num_fake_types):
+            if float(cnt[i]) > 0:
+                result[f"acc_type_{i}"] = float(acc_t[i])
+    return result
+
+
+class Trainer:
+    """Epoch-driven trainer over a (data, model) mesh."""
+
+    def __init__(self, model, tc: TrainConfig, dc: DataConfig,
+                 mesh=None, loss_fn: Optional[Callable] = None,
+                 steps_per_epoch: Optional[int] = None,
+                 use_reference_schedule: bool = False,
+                 log_fn: Callable[[str], None] = print):
+        self.model = model
+        self.tc = tc
+        self.dc = dc
+        self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        self.log = log_fn
+        spe = steps_per_epoch or 1000
+        if use_reference_schedule:
+            sched = reference_epoch_schedule(tc.base_lr, tc.warmup_epochs, spe)
+        else:
+            sched = cosine_schedule(tc.base_lr, spe * tc.num_epochs,
+                                    warmup_steps=spe * min(tc.warmup_epochs, 1))
+        self.optimizer = S.make_optimizer(tc, sched)
+        self.step_fn = S.make_train_step(self.model, self.optimizer,
+                                         loss_fn=loss_fn)
+        self.ckpt = CheckpointManager(tc.checkpoint_dir) \
+            if tc.checkpoint_dir else None
+        self.best_metric = -float("inf")
+
+    def init_state(self, seed: Optional[int] = None) -> S.TrainState:
+        rng = jax.random.PRNGKey(self.tc.seed if seed is None else seed)
+        ts = S.create_train_state(self.model, rng, self.optimizer)
+        pshard = shd.param_shardings(ts.params, self.mesh)
+        return S.TrainState(
+            params=shd.place(ts.params, pshard),
+            model_state=shd.place(
+                ts.model_state,
+                shd.replicated_shardings(ts.model_state, self.mesh)),
+            opt_state=jax.device_put(ts.opt_state),
+            step=ts.step,
+        )
+
+    def restore(self, ts: S.TrainState) -> S.TrainState:
+        if self.ckpt and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(template=ts)
+            self.log(f"resumed from step {self.ckpt.latest_step()}")
+            return restored
+        return ts
+
+    def fit(self, train_loader: ClipLoader, val_loader=None,
+            ts: Optional[S.TrainState] = None,
+            eval_every_epoch: bool = True) -> S.TrainState:
+        ts = ts if ts is not None else self.restore(self.init_state())
+        rng = jax.random.PRNGKey(self.tc.seed + 1)
+        for epoch in range(self.tc.num_epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            run_loss, run_acc, seen = M.Welford(), M.Welford(), 0
+            for batch in device_feed(train_loader, self.mesh):
+                rng, srng = jax.random.split(rng)
+                ts, m = self.step_fn(ts, batch, srng)
+                bs = batch["clips"].shape[0] if "clips" in batch \
+                    else batch["images"].shape[0]
+                run_loss.update(float(m["loss"]), bs)
+                run_acc.update(float(m["accuracy"]), bs)
+                seen += bs
+                if seen % (self.tc.log_every * bs) < bs:
+                    self.log(f"epoch {epoch} seen {seen}: "
+                             f"loss {run_loss.mean:.4f} acc {run_acc.mean:.4f}")
+            dt = time.time() - t0
+            self.log(f"epoch {epoch}: train loss {run_loss.mean:.4f} "
+                     f"acc {run_acc.mean:.4f} ({seen / max(dt, 1e-9):.1f} clips/s)")
+            metric = run_acc.mean
+            if val_loader is not None and eval_every_epoch:
+                ev = evaluate(self.model, ts.params, ts.model_state,
+                              val_loader, self.mesh,
+                              compute_acer=self.dc.dataset == "oulu")
+                self.log(f"epoch {epoch}: val {ev}")
+                metric = ev["accuracy"]
+            if self.ckpt:
+                self.ckpt.save(int(ts.step), jax.device_get(ts), metric=metric)
+                if metric > self.best_metric:
+                    self.best_metric = metric
+        return ts
