@@ -25,52 +25,48 @@ PER_CHIP_BASELINE = 5000.0 / 8.0
 
 def main():
     from istvt_tpu.core.config import ISTVTConfig
+    from istvt_tpu.core import tree as tree_util
     from istvt_tpu.models import istvt
-
-    cfg = ISTVTConfig()
-    rng = jax.random.PRNGKey(0)
-    params, state = istvt.init(rng, cfg)
 
     platform = jax.devices()[0].platform
     # batch size: saturate the MXU on TPU; stay small on CPU fallback
-    batch = int(os.environ.get("BENCH_BATCH", "8" if platform == "tpu" else "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "20" if platform == "tpu" else "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "16" if platform == "tpu" else "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "8" if platform == "tpu" else "2"))
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
 
+    cfg = ISTVTConfig(use_pallas=platform == "tpu")
+    rng = jax.random.PRNGKey(0)
+    params, state = istvt.init(rng, cfg)
+    if platform == "tpu":
+        params = tree_util.cast(params, jnp.bfloat16)
+
+    @jax.jit
     def fwd(params, state, clips):
         logits, _ = istvt.apply(params, state, clips, cfg, train=False)
-        return logits
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(3,))
-    def timed_loop(params, state, clips, n):
-        """n chained forwards in ONE device program: each iteration's input
-        is perturbed by the previous logits, so no two executions can be
-        deduplicated or overlapped dishonestly."""
-        def body(c, _):
-            logits = fwd(params, state, c)
-            c = c + (jnp.mean(logits) * 1e-6).astype(c.dtype)
-            return c, jnp.sum(logits)
-        c, sums = jax.lax.scan(body, clips, None, length=n)
-        return sums
+        return jnp.sum(logits)
 
     clips = jax.random.normal(
         jax.random.PRNGKey(1),
         (batch, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
         dtype)
 
-    # warmup / compile. NOTE: the timed call must differ from the warmup
-    # call — some remote execution backends replay cached results for
-    # byte-identical requests, which would fake the measurement.
-    jax.block_until_ready(timed_loop(params, state, clips, iters))
-    t0 = time.perf_counter()
-    out = timed_loop(params, state, clips + 1.0, iters)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # NOTES on honest measurement under remote-tunnel backends:
+    # (a) every timed call uses a DIFFERENT input -- byte-identical requests
+    # can be replay-cached; (b) block_until_ready may return before remote
+    # execution finishes, so each result is FETCHED to host (float()) to
+    # force synchronization.
+    float(fwd(params, state, clips))  # compile + warmup
+    times = []
+    for i in range(iters):
+        x = clips + 0.01 * (i + 1)
+        t0 = time.perf_counter()
+        float(fwd(params, state, x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]  # median single-call time
 
-    clips_per_sec = batch * iters / dt
-    p50_latency_ms = dt / iters * 1000.0 / batch
+    clips_per_sec = batch / dt
+    p50_latency_ms = dt * 1000.0 / batch
     result = {
         "metric": "istvt_fwd_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),

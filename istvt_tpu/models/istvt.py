@@ -136,20 +136,21 @@ def dsttr_apply(
         bias_t = attn_bias["t"][i] if attn_bias is not None else None
         bias_s = attn_bias["s"][i] if attn_bias is not None else None
 
-        # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
+        # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99).
+        # Attention maps are only materialized when the caller needs them
+        # (LRP rollout / attn_bias grads) — the hot path skips them.
+        need_attn = return_attn or attn_bias is not None
         hn_t = layernorm(layer["attn_t"]["norm"], x)
-        out_t, at = A.temporal_residual_attention(
-            layer["attn_t"], hn_t, cfg.heads, s, return_attn=True)
-        if bias_t is not None:
-            # re-run the value mix with the perturbed probs so grads flow
-            at = at + bias_t
-            out_t = _remix_temporal(layer["attn_t"], hn_t, at, cfg.heads, s)
+        res_t = A.temporal_residual_attention(
+            layer["attn_t"], hn_t, cfg.heads, s,
+            return_attn=need_attn, attn_bias=bias_t)
+        out_t, at = res_t if need_attn else (res_t, None)
         hn_s = layernorm(layer["attn_s"]["norm"], out_t)
-        out_s, asp = A.spatial_only_attention(
-            layer["attn_s"], hn_s, cfg.heads, s, return_attn=True)
-        if bias_s is not None:
-            asp = asp + bias_s
-            out_s = _remix_spatial(layer["attn_s"], hn_s, asp, cfg.heads, s)
+        res_s = A.spatial_only_attention(
+            layer["attn_s"], hn_s, cfg.heads, s,
+            return_attn=need_attn, attn_bias=bias_s,
+            use_pallas=cfg.use_pallas)
+        out_s, asp = res_s if need_attn else (res_s, None)
         x = out_s + x
         f = _feed_forward(layer["ff"],
                           layernorm(layer["ff"]["norm"], x), cfg, train, frng)
@@ -164,33 +165,6 @@ def dsttr_apply(
     out = layernorm(p["mlp_head"]["norm"], cls)
     out = linear(p["mlp_head"]["fc"], out)
     return (out, attns) if return_attn else out
-
-
-def _remix_temporal(p, xn, attn, heads, s):
-    """Recompute the temporal attention output from given (perturbed) probs.
-    xn is the same PreNorm'd input the original pass saw; V comes from it
-    (reference module.py:183,196)."""
-    b, n, d = xn.shape
-    t1 = n // s
-    v = linear(p["to_v"], xn)
-    v = v.reshape(b, t1, s, heads, -1).transpose(0, 3, 2, 1, 4)
-    out = jnp.einsum("...ij,...jd->...id", attn.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
-    out = out.transpose(0, 3, 2, 1, 4).reshape(b, n, -1)
-    return linear(p["to_out"], out)
-
-
-def _remix_spatial(p, xn, attn, heads, s):
-    """Recompute the spatial attention output from given (perturbed) probs."""
-    b, n, d = xn.shape
-    t1 = n // s
-    qkv = linear(p["to_qkv"], xn)
-    _, _, v = jnp.split(qkv, 3, axis=-1)
-    v = v.reshape(b, t1, s, heads, -1).transpose(0, 3, 1, 2, 4)
-    out = jnp.einsum("...ij,...jd->...id", attn.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
-    out = out.transpose(0, 2, 3, 1, 4).reshape(b, n, -1)
-    return linear(p["to_out"], out)
 
 
 # ---------------------------------------------------------------------------

@@ -70,28 +70,43 @@ def joint_attention(p, x, heads: int, return_attn: bool = False):
 
 
 def spatial_only_attention(p, x, heads: int, tokens_per_frame: int,
-                           return_attn: bool = False):
+                           return_attn: bool = False, attn_bias=None,
+                           use_pallas: bool = False):
     """Per-frame attention over the hw axis (reference module.py:66-93).
 
     x: (B, (T+1)*S, D) -> attn shape (B, H, T+1, S, S).
+
+    TPU note: all contractions run directly on the contiguous
+    (B, T+1, S, H, dh) projection layout — only reshapes (free) between
+    them, no materialized head transposes; XLA picks internal layouts.
     """
     b, n, d = x.shape
     s = tokens_per_frame
     t1 = n // s
     qkv = linear(p["to_qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def arrange(u):
-        # 'b (t hw) (h d) -> b h t hw d'  (reference module.py:84)
-        u = u.reshape(b, t1, s, heads, -1)
-        return u.transpose(0, 3, 1, 2, 4)
-
-    q, k, v = arrange(q), arrange(k), arrange(v)
-    out, attn = _sdpa(q, k, v, q.shape[-1] ** -0.5)
-    # 'b h t hw d -> b (t hw) (h d)'
-    out = out.transpose(0, 2, 3, 1, 4).reshape(b, n, -1)
+    q, k, v = (u.reshape(b, t1, s, heads, -1) for u in (q, k, v))
+    if use_pallas and not return_attn and attn_bias is None:
+        from istvt_tpu.kernels.attention import spatial_attention_pallas
+        out = spatial_attention_pallas(q, k, v)
+        out = out.reshape(b, n, heads * v.shape[-1])
+        return linear(p["to_out"], out)
+    scale = q.shape[-1] ** -0.5
+    dots = jnp.einsum("btihd,btjhd->bthij", q, k,
+                      preferred_element_type=jnp.float32,
+                      precision=_precision.get()) * scale
+    attn = jax.nn.softmax(dots, axis=-1)
+    if attn_bias is not None:
+        # bias arrives in the public (B, H, T+1, S, S) order
+        attn = attn + jnp.transpose(attn_bias, (0, 2, 1, 3, 4))
+    out = jnp.einsum("bthij,btjhd->btihd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32,
+                     precision=_precision.get()).astype(v.dtype)
+    out = out.reshape(b, n, heads * v.shape[-1])
     out = linear(p["to_out"], out)
-    return (out, attn) if return_attn else out
+    if return_attn:
+        return out, jnp.transpose(attn, (0, 2, 1, 3, 4))
+    return out
 
 
 def self_subtract(x_bt, first_passthrough: int = 2):
@@ -104,33 +119,51 @@ def self_subtract(x_bt, first_passthrough: int = 2):
 
 
 def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
-                                return_attn: bool = False):
+                                return_attn: bool = False, attn_bias=None):
     """Self-subtract temporal attention (reference module.py:174-208).
 
     Attention over the t axis per spatial location: Q,K from the residual
     (frame-difference) stream, V from the original tokens.
     attn shape (B, H, S, T+1, T+1).
+
+    TPU note: contractions run on the contiguous (B, T+1, S, H, dh)
+    projection layout (t axis is tiny — these are VPU-friendly
+    reductions, not MXU-shaped matmuls; see kernels/attention.py for the
+    fused Pallas version).
     """
     b, n, d = x.shape
     s = tokens_per_frame
     t1 = n // s
-    x_t = x.reshape(b, t1, s, d)
-    residual = self_subtract(x_t).reshape(b, n, d)
-    qk = linear(p["to_qk"], residual)
+    # Self-subtract is LINEAR along t and pointwise projections commute
+    # with it: to_qk(cat(x[:2], x[2:]-x[1:-1])) == the same cat applied to
+    # to_qk(x). So QK and V share ONE fused GEMM over x (K=728, N=2560 —
+    # much better MXU shape than two passes), and the subtract runs on the
+    # projected 1536-dim stream instead of the 728-dim input twice.
+    w = jnp.concatenate([p["to_qk"]["w"], p["to_v"]["w"]], axis=1)
+    qkv = linear({"w": w}, x)
+    inner = p["to_v"]["w"].shape[1]
+    qk, v = qkv[..., : 2 * inner], qkv[..., 2 * inner:]
+    qk = self_subtract(qk.reshape(b, t1, s, 2 * inner)).reshape(b, n, -1)
     q, k = jnp.split(qk, 2, axis=-1)
-    v = linear(p["to_v"], x)
-
-    def arrange(u):
-        # 'b (t hw) (h d) -> b h hw t d'  (reference module.py:197-198)
-        u = u.reshape(b, t1, s, heads, -1)
-        return u.transpose(0, 3, 2, 1, 4)
-
-    q, k, v = arrange(q), arrange(k), arrange(v)
-    out, attn = _sdpa(q, k, v, q.shape[-1] ** -0.5)
-    # 'b h hw t d -> b (t hw) (h d)'
-    out = out.transpose(0, 3, 2, 1, 4).reshape(b, n, -1)
+    q = q.reshape(b, t1, s, heads, -1)
+    k = k.reshape(b, t1, s, heads, -1)
+    v = v.reshape(b, t1, s, heads, -1)
+    scale = q.shape[-1] ** -0.5
+    dots = jnp.einsum("bishd,bjshd->bshij", q, k,
+                      preferred_element_type=jnp.float32,
+                      precision=_precision.get()) * scale
+    attn = jax.nn.softmax(dots, axis=-1)
+    if attn_bias is not None:
+        # bias arrives in the public (B, H, S, T+1, T+1) order
+        attn = attn + jnp.transpose(attn_bias, (0, 2, 1, 3, 4))
+    out = jnp.einsum("bshij,bjshd->bishd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32,
+                     precision=_precision.get()).astype(v.dtype)
+    out = out.reshape(b, n, heads * v.shape[-1])
     out = linear(p["to_out"], out)
-    return (out, attn) if return_attn else out
+    if return_attn:
+        return out, jnp.transpose(attn, (0, 2, 1, 3, 4))
+    return out
 
 
 def temporal_only_attention(p, x, heads: int, tokens_per_frame: int,

@@ -1,0 +1,72 @@
+"""Pallas kernel parity vs the XLA einsum path (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.core import precision
+from istvt_tpu.kernels.attention import fused_frame_attention
+from istvt_tpu.nn import attention as A
+from istvt_tpu.nn.layers import linear_init
+
+
+def test_fused_frame_attention_matches_einsum():
+    rng = np.random.RandomState(0)
+    g, s, dh = 6, 27, 16
+    q, k, v = (jnp.asarray(rng.randn(g, s, dh).astype(np.float32))
+               for _ in range(3))
+    out = fused_frame_attention(q, k, v, interpret=True)
+
+    with precision.highest():
+        dots = jnp.einsum("gid,gjd->gij", q, k) * dh ** -0.5
+        attn = jax.nn.softmax(dots, axis=-1)
+        ref = jnp.einsum("gij,gjd->gid", attn, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_spatial_attention_pallas_path_matches_xla():
+    rng = np.random.RandomState(1)
+    b, t1, s, d, heads, inner = 2, 3, 26, 32, 4, 32
+    key = jax.random.PRNGKey(0)
+    p = {"to_qkv": linear_init(key, d, inner * 3, bias=False),
+         "to_out": linear_init(key, inner, d)}
+    x = jnp.asarray(rng.randn(b, t1 * s, d).astype(np.float32))
+    with precision.highest():
+        ref = A.spatial_only_attention(p, x, heads, s, use_pallas=False)
+        out = A.spatial_only_attention(p, x, heads, s, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_temporal_fused_projection_equivalence():
+    """The fused single-GEMM + subtract-after-projection formulation must
+    equal projecting the subtracted stream (linearity; module.py:193)."""
+    rng = np.random.RandomState(2)
+    b, t1, s, d, heads, inner = 2, 4, 9, 16, 2, 16
+    key = jax.random.PRNGKey(1)
+    p = {"to_qk": linear_init(key, d, inner * 2, bias=False),
+         "to_v": linear_init(jax.random.PRNGKey(2), d, inner, bias=False),
+         "to_out": linear_init(jax.random.PRNGKey(3), inner, d)}
+    x = jnp.asarray(rng.randn(b, t1 * s, d).astype(np.float32))
+
+    with precision.highest():
+        out = A.temporal_residual_attention(p, x, heads, s)
+
+        # reference formulation: project the subtracted stream directly
+        from istvt_tpu.nn.layers import linear
+        x_t = x.reshape(b, t1, s, d)
+        residual = A.self_subtract(x_t).reshape(b, t1 * s, d)
+        qk = linear(p["to_qk"], residual)
+        q, k = jnp.split(qk, 2, axis=-1)
+        v = linear(p["to_v"], x)
+        q = q.reshape(b, t1, s, heads, -1)
+        k = k.reshape(b, t1, s, heads, -1)
+        v = v.reshape(b, t1, s, heads, -1)
+        dots = jnp.einsum("bishd,bjshd->bshij", q, k) * q.shape[-1] ** -0.5
+        attn = jax.nn.softmax(dots, axis=-1)
+        ref = jnp.einsum("bshij,bjshd->bishd", attn, v).reshape(b, t1 * s, -1)
+        ref = linear(p["to_out"], ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
