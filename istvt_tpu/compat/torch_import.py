@@ -163,6 +163,83 @@ def dsttr_from_torch(sd: Mapping[str, Any], depth: int = 12):
     return p
 
 
+def conv3d_w(t) -> jnp.ndarray:
+    """(O, I, kT, kH, kW) -> DHWIO (kT, kH, kW, I, O)."""
+    return jnp.asarray(_np(t).transpose(2, 3, 4, 1, 0))
+
+
+def resnet3d_from_torch(sd: Mapping[str, Any], layers, kind: str):
+    """Generic 3D-ResNet state_dict (reference network/resnet_3d.py) or
+    I3D (reference network/resnet3d/models/resnet.py) -> params/state."""
+    p: Dict[str, Any] = {"conv1": {"w": conv3d_w(sd["conv1.weight"])}}
+    s: Dict[str, Any] = {}
+    p["bn1"], s["bn1"] = _bn(sd, "bn1")
+    n_convs = 3 if kind in ("bottleneck", "i3d") else 2
+    for li, n_blocks in enumerate(layers):
+        lname = f"layer{li + 1}"
+        p[lname], s[lname] = [], []
+        for bi in range(n_blocks):
+            pre = f"{lname}.{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"] = {"w": conv3d_w(sd[f"{pre}.conv{ci}.weight"])}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["down"] = {"w": conv3d_w(sd[f"{pre}.downsample.0.weight"])}
+                bp["downbn"], bs["downbn"] = _bn(sd, f"{pre}.downsample.1")
+            if f"{pre}.nl.theta.weight" in sd:
+                nlp: Dict[str, Any] = {}
+                nls: Dict[str, Any] = {}
+                for c in ("theta", "phi", "g", "out"):
+                    nlp[c] = {"w": conv3d_w(sd[f"{pre}.nl.{c}.weight"]),
+                              "b": vec(sd[f"{pre}.nl.{c}.bias"])}
+                nlp["bn"], nls["bn"] = _bn(sd, f"{pre}.nl.bn")
+                bp["nl"], bs["nl"] = nlp, nls
+            p[lname].append(bp)
+            s[lname].append(bs)
+    if "fc.weight" in sd:
+        p["fc"] = {"w": linear_w(sd["fc.weight"]), "b": vec(sd["fc.bias"])}
+    return p, s
+
+
+def meso4_from_torch(sd: Mapping[str, Any]):
+    """Meso4 state_dict (reference network/mesonet.py:11-64) -> (params,
+    state). Shared bn1/bn2 convert once."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for c in ("conv1", "conv2", "conv3", "conv4"):
+        p[c] = {"w": conv_w(sd[f"{c}.weight"])}
+    for bn in ("bn1", "bn2"):
+        p[bn], s[bn] = _bn(sd, bn)
+    for fc in ("fc1", "fc2"):
+        p[fc] = {"w": linear_w(sd[f"{fc}.weight"]), "b": vec(sd[f"{fc}.bias"])}
+    return p, s
+
+
+def mesoinception4_from_torch(sd: Mapping[str, Any]):
+    """MesoInception4 state_dict (reference mesonet.py:67-162)."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for i, inc in ((1, "inc1"), (2, "inc2")):
+        p[inc] = {
+            "c1": {"w": conv_w(sd[f"Incption{i}_conv1.weight"])},
+            "c2a": {"w": conv_w(sd[f"Incption{i}_conv2_1.weight"])},
+            "c2b": {"w": conv_w(sd[f"Incption{i}_conv2_2.weight"])},
+            "c3a": {"w": conv_w(sd[f"Incption{i}_conv3_1.weight"])},
+            "c3b": {"w": conv_w(sd[f"Incption{i}_conv3_2.weight"])},
+            "c4a": {"w": conv_w(sd[f"Incption{i}_conv4_1.weight"])},
+            "c4b": {"w": conv_w(sd[f"Incption{i}_conv4_2.weight"])},
+        }
+        p[f"bn_{inc}"], s[f"bn_{inc}"] = _bn(sd, f"Incption{i}_bn")
+    p["conv1"] = {"w": conv_w(sd["conv1.weight"])}
+    p["conv2"] = {"w": conv_w(sd["conv2.weight"])}
+    p["bn1"], s["bn1"] = _bn(sd, "bn1")
+    for fc in ("fc1", "fc2"):
+        p[fc] = {"w": linear_w(sd[f"{fc}.weight"]), "b": vec(sd[f"{fc}.bias"])}
+    return p, s
+
+
 def istvt_from_torch(sd: Mapping[str, Any], depth: int = 12):
     """Full XceptionVidTr (reference vivit.py:193-208): 'xcep.model.*' stem
     (TransferModel wraps Xception as .model, reference models_copy.py:40-47)

@@ -96,6 +96,82 @@ def _xception(num_out_classes=2, dropout=0.5, **kw):
                  extras=extras)
 
 
+def _meso_builder(name, init_fn, apply_fn):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        def apply(params, state, images, train=False, rng=None):
+            return apply_fn(params, state, images, train=train, rng=rng,
+                            drop=dropout)
+        return Model(name=name, config=None,
+                     init=lambda rng: init_fn(rng, num_out_classes),
+                     apply=apply)
+    return build
+
+
+# registry keys 'mesonet'/'mesoincep' (reference models.py:64-71)
+from istvt_tpu.models import mesonet as _mesonet  # noqa: E402
+
+register("mesonet")(_meso_builder("mesonet", _mesonet.meso4_init,
+                                  _mesonet.meso4_apply))
+register("mesoincep")(_meso_builder("mesoincep",
+                                    _mesonet.mesoinception4_init,
+                                    _mesonet.mesoinception4_apply))
+
+
+# 3D ResNets (reference network/resnet_3d.py `generate_model`,
+# network/resnet3d/models/resnet.py `i3_res50[_nl]`)
+from istvt_tpu.models import resnet3d as _r3d  # noqa: E402
+
+
+def _resnet3d_builder(depth: int):
+    def build(num_out_classes=1, dropout=0.0, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _r3d.init(rng, model_depth=depth,
+                                  n_classes=num_out_classes)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, clips, train=False, rng=None):
+            return _r3d.apply(params, state, clips, holder["cfg"],
+                              train=train, rng=rng, drop=dropout)
+
+        return Model(name=f"resnet3d_{depth}", config=None, init=init,
+                     apply=apply)
+    return build
+
+
+for _d in (10, 18, 34, 50, 101):
+    register(f"resnet3d_{_d}")(_resnet3d_builder(_d))
+
+
+def _i3d_builder(use_nl: bool):
+    name = "i3d_r50_nl" if use_nl else "i3d_r50"
+
+    def build(num_out_classes=400, dropout=0.5, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _r3d.i3d_init(rng, num_classes=num_out_classes,
+                                      use_nl=use_nl)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, clips, train=False, rng=None):
+            if clips.ndim == 7:   # (B, clips, crops, T, H, W, 3) multi-eval
+                return (_r3d.i3d_forward_multi(params, state, clips,
+                                               holder["cfg"], train), state)
+            return _r3d.i3d_apply(params, state, clips, holder["cfg"],
+                                  train=train, rng=rng, drop=dropout)
+
+        return Model(name=name, config=None, init=init, apply=apply)
+    return build
+
+
+register("i3d_r50")(_i3d_builder(False))
+register("i3d_r50_nl")(_i3d_builder(True))
+
+
 @register("xception_concat")
 def _xception_concat(num_out_classes=2, dropout=0.5, **kw):
     """15-channel frame-stack variant (reference xception.py:224-343):

@@ -101,7 +101,76 @@ def separable_conv2d(p, x, stride: int = 1, padding: int = 0, dilation: int = 1)
 
 
 # ---------------------------------------------------------------------------
-# batchnorm2d — params {'scale','bias'}, state {'mean','var'}
+# conv3d — NDHWC activations (B, T, H, W, C), DHWIO weights
+
+
+def conv3d_init(key, in_ch, out_ch, kernel_size, bias: bool = False):
+    """kernel_size: int or (kt, kh, kw). Kaiming-normal fan_out init
+    (matching the reference 3D nets, network/resnet_3d.py:153-157)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * 3
+    kt, kh, kw = kernel_size
+    fan_out = out_ch * kt * kh * kw
+    std = math.sqrt(2.0 / fan_out)
+    wkey, bkey = jax.random.split(key)
+    p = {"w": std * jax.random.normal(wkey, (kt, kh, kw, in_ch, out_ch))}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,))
+    return p
+
+
+def conv3d(p, x, stride=1, padding=0):
+    """3D conv, torch Conv3d semantics. stride/padding: int or 3-tuples."""
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    y = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1]),
+                 (padding[2], padding[2])],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=_precision.get(),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def max_pool3d(x, window=3, stride=2, padding=1):
+    """torch MaxPool3d. window/stride/padding: int or 3-tuples."""
+    if isinstance(window, int):
+        window = (window,) * 3
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, init, lax.max,
+        window_dimensions=(1,) + window + (1,),
+        window_strides=(1,) + stride + (1,),
+        padding=((0, 0),) + tuple((pp, pp) for pp in padding) + ((0, 0),),
+    )
+
+
+def avg_pool3d(x, window, stride):
+    if isinstance(window, int):
+        window = (window,) * 3
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    summed = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1,) + window + (1,),
+        window_strides=(1,) + stride + (1,),
+        padding="VALID")
+    return summed / (window[0] * window[1] * window[2])
+
+
+# ---------------------------------------------------------------------------
+# batchnorm2d/3d — params {'scale','bias'}, state {'mean','var'}
 
 
 def batchnorm_init(ch):
