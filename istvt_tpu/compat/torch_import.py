@@ -203,6 +203,39 @@ def resnet3d_from_torch(sd: Mapping[str, Any], layers, kind: str):
     return p, s
 
 
+def efficientnet_from_torch(sd: Mapping[str, Any]):
+    """EfficientNet(_cdc) state_dict (reference network/efficientnet_cdc.py)
+    -> (params, state). Depthwise convs: torch (C,1,kh,kw) -> HWIO (kh,kw,1,C)."""
+    p: Dict[str, Any] = {"conv_stem": {"w": conv_w(sd["_conv_stem.weight"])}}
+    s: Dict[str, Any] = {}
+    p["bn0"], s["bn0"] = _bn(sd, "_bn0")
+    p["blocks"], s["blocks"] = [], []
+    i = 0
+    while f"_blocks.{i}._depthwise_conv.weight" in sd:
+        pre = f"_blocks.{i}"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        if f"{pre}._expand_conv.weight" in sd:
+            bp["expand"] = {"w": conv_w(sd[f"{pre}._expand_conv.weight"])}
+            bp["bn0"], bs["bn0"] = _bn(sd, f"{pre}._bn0")
+        bp["dw"] = {"w": conv_w(sd[f"{pre}._depthwise_conv.weight"])}
+        bp["bn1"], bs["bn1"] = _bn(sd, f"{pre}._bn1")
+        bp["se_reduce"] = {"w": conv_w(sd[f"{pre}._se_reduce.weight"]),
+                           "b": vec(sd[f"{pre}._se_reduce.bias"])}
+        bp["se_expand"] = {"w": conv_w(sd[f"{pre}._se_expand.weight"]),
+                           "b": vec(sd[f"{pre}._se_expand.bias"])}
+        bp["project"] = {"w": conv_w(sd[f"{pre}._project_conv.weight"])}
+        bp["bn2"], bs["bn2"] = _bn(sd, f"{pre}._bn2")
+        p["blocks"].append(bp)
+        s["blocks"].append(bs)
+        i += 1
+    p["conv_head"] = {"w": conv_w(sd["_conv_head.weight"])}
+    p["bn1"], s["bn1"] = _bn(sd, "_bn1")
+    if "_fc.weight" in sd:
+        p["fc"] = {"w": linear_w(sd["_fc.weight"]), "b": vec(sd["_fc.bias"])}
+    return p, s
+
+
 def meso4_from_torch(sd: Mapping[str, Any]):
     """Meso4 state_dict (reference network/mesonet.py:11-64) -> (params,
     state). Shared bn1/bn2 convert once."""

@@ -172,6 +172,47 @@ register("i3d_r50")(_i3d_builder(False))
 register("i3d_r50_nl")(_i3d_builder(True))
 
 
+# EfficientNet family (reference models.py:72-101 'efficientnet' = b2,
+# 'efficientnet_cdc' = b3 with 2048-d _fc; efficientnet_cdc.py)
+from istvt_tpu.models import efficientnet as _effnet  # noqa: E402
+
+
+def _effnet_builder(name, model_name, cdc: bool):
+    def build(num_out_classes=1, dropout=0.5, cdc_theta=None, **kw):
+        # The reference declares theta=0.7 for CDC convs but keeps the
+        # difference term commented out (utils.py:249,289-293), so parity
+        # default is 0.0; pass cdc_theta=0.7 to actually enable CDC.
+        theta = cdc_theta if cdc_theta is not None else 0.0
+        holder = {}
+
+        def init(rng):
+            k1, k2 = jax.random.split(rng)
+            p, s, cfg = _effnet.init(k1, model_name=model_name,
+                                     feature_dim=2048)
+            holder["cfg"] = cfg
+            # TransferModel-style classifier on the 2048-d feature
+            # (reference models.py:40-47)
+            p["classifier"] = linear_init(k2, 2048, num_out_classes)
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            feats, ns = _effnet.apply(
+                {k: v for k, v in params.items() if k != "classifier"},
+                state, images, holder["cfg"], train=train, rng=rng,
+                cdc_theta=theta if cdc else 0.0)
+            out = _dropout(rng, feats, dropout, train)
+            return linear(params["classifier"], out), ns
+
+        return Model(name=name, config=None, init=init, apply=apply)
+    return build
+
+
+register("efficientnet")(_effnet_builder("efficientnet",
+                                         "efficientnet-b2", False))
+register("efficientnet_cdc")(_effnet_builder("efficientnet_cdc",
+                                             "efficientnet-b3", True))
+
+
 @register("xception_concat")
 def _xception_concat(num_out_classes=2, dropout=0.5, **kw):
     """15-channel frame-stack variant (reference xception.py:224-343):
