@@ -163,6 +163,23 @@ def low_level_features(p, s, x, train: bool = False,
     return mid_features(p, s, x, cfg.low_level_through, train)
 
 
+def tail_features(p, s, x, from_block: int = 8, train: bool = False):
+    """block{from_block}..block12 -> conv3/conv4 -> (B, h, w, 2048): the
+    DualNet late stage `fea_8_12` (reference xception_for_dualnet.py:233-247).
+    Untouched stage state passes through unchanged."""
+    ns = dict(s)
+    for i in range(from_block, 13):
+        name = f"block{i}"
+        x, ns[name] = block_apply(p[name], s[name], x, BLOCK_SPECS[i - 1],
+                                  train)
+    x = separable_conv2d(p["conv3"], x, stride=1, padding=1)
+    x, ns["bn3"] = batchnorm(p["bn3"], s["bn3"], x, train)
+    x = relu(x)
+    x = separable_conv2d(p["conv4"], x, stride=1, padding=1)
+    x, ns["bn4"] = batchnorm(p["bn4"], s["bn4"], x, train)
+    return x, ns
+
+
 def features(p, s, x, train: bool = False):
     """Full feature extractor conv1..bn4 (reference xception.py:161-191)."""
     x, ns = mid_features(p, s, x, 12, train)

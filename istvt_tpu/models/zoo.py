@@ -213,6 +213,40 @@ register("efficientnet_cdc")(_effnet_builder("efficientnet_cdc",
                                              "efficientnet-b3", True))
 
 
+# DualNet / F3-Net-style frequency models (reference registry keys
+# 'jigsaw_multi_xcep_adv[_pair]' -> DualNet, models.py:160-168)
+from istvt_tpu.models import dualnet as _dualnet  # noqa: E402
+
+
+def _dualnet_builder(name):
+    def build(num_out_classes=1, dropout=0.2, img_size=300, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _dualnet.init(rng, num_classes=num_out_classes,
+                                      img_size=img_size)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            (logits, feat, a, b), ns = _dualnet.apply(
+                params, state, images, holder["cfg"], train=train, rng=rng,
+                drop=dropout)
+            return logits, ns
+
+        def apply_full(params, state, images, train=False, rng=None):
+            return _dualnet.apply(params, state, images, holder["cfg"],
+                                  train=train, rng=rng, drop=dropout)
+
+        return Model(name=name, config=None, init=init, apply=apply,
+                     extras={"forward_full": apply_full})
+    return build
+
+
+for _k in ("dualnet", "jigsaw_multi_xcep_adv", "jigsaw_multi_xcep_adv_pair"):
+    register(_k)(_dualnet_builder(_k))
+
+
 @register("xception_concat")
 def _xception_concat(num_out_classes=2, dropout=0.5, **kw):
     """15-channel frame-stack variant (reference xception.py:224-343):
