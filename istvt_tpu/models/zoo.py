@@ -213,6 +213,42 @@ register("efficientnet_cdc")(_effnet_builder("efficientnet_cdc",
                                              "efficientnet-b3", True))
 
 
+# Fastformer family: 'fastformer' -> CvT (reference models.py:158,174);
+# FastTransformer additive-attention ViT (fast_transformer_torch.py)
+from istvt_tpu.models import cvt as _cvt  # noqa: E402
+from istvt_tpu.models import fastformer as _fastformer  # noqa: E402
+
+
+@register("fastformer")
+def _fastformer_cvt(num_out_classes=1, dropout=0.5, **kw):
+    def apply(params, state, images, train=False, rng=None):
+        return _cvt.apply(params, state, images, train=train, rng=rng)
+    return Model(name="fastformer", config=None,
+                 init=lambda rng: _cvt.init(rng, num_classes=num_out_classes),
+                 apply=apply)
+
+
+@register("fast_transformer")
+def _fast_transformer(num_out_classes=1, dropout=0.5, image_size=224,
+                      depth=4, dim=512, use_rotary=True, **kw):
+    holder = {}
+
+    def init(rng):
+        p, cfg = _fastformer.fast_transformer_init(
+            rng, num_tokens=num_out_classes, dim=dim, depth=depth,
+            image_size=image_size, use_rotary=use_rotary)
+        holder["cfg"] = cfg
+        return p, {}
+
+    def apply(params, state, images, train=False, rng=None):
+        out = _fastformer.fast_transformer_apply(params, images,
+                                                 holder["cfg"],
+                                                 train=train, rng=rng)
+        return out, state
+
+    return Model(name="fast_transformer", config=None, init=init, apply=apply)
+
+
 # DualNet / F3-Net-style frequency models (reference registry keys
 # 'jigsaw_multi_xcep_adv[_pair]' -> DualNet, models.py:160-168)
 from istvt_tpu.models import dualnet as _dualnet  # noqa: E402
