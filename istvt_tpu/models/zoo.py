@@ -213,6 +213,265 @@ register("efficientnet_cdc")(_effnet_builder("efficientnet_cdc",
                                              "efficientnet-b3", True))
 
 
+# 2D ResNets (reference models.py:48-63) + UNet family
+from istvt_tpu.models import resnet2d as _r2d  # noqa: E402
+from istvt_tpu.models import unet as _unet  # noqa: E402
+
+
+def _resnet2d_builder(depth):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _r2d.init(rng, depth, num_out_classes)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            return _r2d.apply(params, state, images, holder["cfg"], train,
+                              rng)
+
+        return Model(name=f"resnet{depth}", config=None, init=init,
+                     apply=apply)
+    return build
+
+
+register("resnet18")(_resnet2d_builder(18))
+register("resnet50")(_resnet2d_builder(50))
+
+
+def _modified_unet_builder(name, mode, classifier="efficientnet-b2"):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _unet.modified_unet_init(rng, 3, 3, mode=mode,
+                                                 classifier=classifier)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            (reg, cla, feats), ns = _unet.modified_unet_apply(
+                params, state, images, holder["cfg"], train, rng)
+            return cla, ns
+
+        def apply_full(params, state, images, train=False, rng=None):
+            return _unet.modified_unet_apply(params, state, images,
+                                             holder["cfg"], train, rng)
+
+        def apply_triple(params, state, a, pp, n, train=False, rng=None):
+            return _unet.triple_apply(apply_full, params, state, a, pp, n,
+                                      train=train, rng=rng)
+
+        return Model(name=name, config=None, init=init, apply=apply,
+                     extras={"forward_full": apply_full,
+                             "forward_triple": apply_triple})
+    return build
+
+
+# reference keys: unet_efficientnet_{add,mul}, tripunet_efficientnet_{add,
+# mul} (triple wrappers share the same weights), unet_resnet
+register("unet_efficientnet_add")(
+    _modified_unet_builder("unet_efficientnet_add", "add"))
+register("unet_efficientnet_mul")(
+    _modified_unet_builder("unet_efficientnet_mul", "mul"))
+register("tripunet_efficientnet_add")(
+    _modified_unet_builder("tripunet_efficientnet_add", "add"))
+register("tripunet_efficientnet_mul")(
+    _modified_unet_builder("tripunet_efficientnet_mul", "mul"))
+register("unet_resnet")(
+    _modified_unet_builder("unet_resnet", "add", classifier="resnet18"))
+
+
+def _trip_effnet_builder(name):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _unet.trip_efficientnet_init(rng, num_out_classes)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            (feats, clas), ns = _unet.trip_efficientnet_apply(
+                params, state, [images], holder["cfg"], train, rng)
+            return clas[0], ns
+
+        def apply_multi(params, state, inputs, train=False, rng=None):
+            return _unet.trip_efficientnet_apply(params, state, inputs,
+                                                 holder["cfg"], train, rng)
+
+        return Model(name=name, config=None, init=init, apply=apply,
+                     extras={"forward_multi": apply_multi})
+    return build
+
+
+for _k in ("triplet_efficientnet", "triplet_efficientnet_cdc",
+           "quadplet_efficientnet"):
+    register(_k)(_trip_effnet_builder(_k))
+
+
+def _quadnet_builder(name, id_len=896, use_full=False):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _unet.quadnet_encoder_init(rng, id_len=id_len,
+                                                   use_full=use_full)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            (gs, ids, clas, gf, idf), ns = _unet.quadnet_encoder_apply(
+                params, state, [images], holder["cfg"], train, rng)
+            return clas[0], ns
+
+        def apply_multi(params, state, inputs, train=False, rng=None):
+            return _unet.quadnet_encoder_apply(params, state, inputs,
+                                               holder["cfg"], train, rng)
+
+        return Model(name=name, config=None, init=init, apply=apply,
+                     extras={"forward_multi": apply_multi})
+    return build
+
+
+for _k, _full in (("quadnet", False), ("quadnet_full", True),
+                  ("quadnet_conv", False), ("quadnet_dfc", False),
+                  ("quadnet_decoder", False)):
+    register(_k)(_quadnet_builder(_k, use_full=_full))
+
+
+@register("decoder")
+def _decoder(num_out_classes=3, dropout=0.0, **kw):
+    def init(rng):
+        return _unet.quadnet_decoder_init(rng, 1408, 3)
+
+    def apply(params, state, feats, train=False, rng=None):
+        return _unet.quadnet_decoder_apply(params, state, feats, train)
+
+    return Model(name="decoder", config=None, init=init, apply=apply)
+
+
+def _ensemble_builder(name, model="efficientnet-b2", with_jigsaw=False,
+                      with_compression=False, num_nets=3):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        holder = {}
+
+        def init(rng):
+            p, s, cfg = _unet.ensemble_en_init(
+                rng, num_nets, model, num_out_classes,
+                with_jigsaw=with_jigsaw, with_compression=with_compression)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            inputs = images if isinstance(images, (list, tuple)) \
+                else [images] * num_nets
+            (clas, feats, idxs, c_clas), ns = _unet.ensemble_en_apply(
+                params, state, inputs, holder["cfg"], train, rng)
+            return sum(clas) / len(clas), ns
+
+        def apply_multi(params, state, inputs, train=False, rng=None):
+            return _unet.ensemble_en_apply(params, state, inputs,
+                                           holder["cfg"], train, rng)
+
+        return Model(name=name, config=None, init=init, apply=apply,
+                     extras={"forward_multi": apply_multi})
+    return build
+
+
+register("multi_efficientnet")(_ensemble_builder("multi_efficientnet"))
+register("trip_multi_en")(_ensemble_builder("trip_multi_en"))
+register("jigsaw_multi_en")(_ensemble_builder(
+    "jigsaw_multi_en", with_jigsaw=True))
+register("jigsaw_multi_en_adv")(_ensemble_builder(
+    "jigsaw_multi_en_adv", with_jigsaw=True, with_compression=True))
+
+
+@register("fusion_efficientnet")
+def _fusion_en(num_out_classes=2, dropout=0.3, **kw):
+    holder = {}
+
+    def init(rng):
+        p, s, cfg = _unet.fusion_en_init(rng, 3)
+        holder["cfg"] = cfg
+        return p, s
+
+    def apply(params, state, images, train=False, rng=None):
+        inputs = images if isinstance(images, (list, tuple)) \
+            else [images] * 3
+        (fused, clas), ns = _unet.fusion_en_apply(params, state, inputs,
+                                                  holder["cfg"], train, rng)
+        return fused, ns
+
+    return Model(name="fusion_efficientnet", config=None, init=init,
+                 apply=apply)
+
+
+@register("multi_xception")
+def _multi_xcep(num_out_classes=2, dropout=0.5, **kw):
+    def init(rng):
+        return _unet.ensemble_xcep_init(rng, 3)
+
+    def apply(params, state, images, train=False, rng=None):
+        inputs = images if isinstance(images, (list, tuple)) \
+            else [images] * 3
+        (clas, feats, s_attns, _), ns = _unet.ensemble_xcep_apply(
+            params, state, inputs, train, rng, dropout)
+        return sum(clas) / len(clas), ns
+
+    return Model(name="multi_xception", config=None, init=init, apply=apply)
+
+
+def _cross_xcep_builder(name):
+    def build(num_out_classes=2, dropout=0.5, **kw):
+        def init(rng):
+            return _unet.cross_attention_xception_init(rng, 2)
+
+        def apply(params, state, images, train=False, rng=None):
+            inputs = images if isinstance(images, (list, tuple)) \
+                else [images, images]
+            (clas, att), ns = _unet.cross_attention_xception_apply(
+                params, state, inputs, train, rng, dropout)
+            return sum(clas) / len(clas), ns
+
+        return Model(name=name, config=None, init=init, apply=apply)
+    return build
+
+
+register("mixed_xcep")(_cross_xcep_builder("mixed_xcep"))
+register("xception_dg")(_cross_xcep_builder("xception_dg"))
+
+
+@register("unetplus_efficientnet")
+def _unetplus(num_out_classes=2, dropout=0.5, **kw):
+    """UNet++ residual map + EfficientNet classifier on x + residual
+    (reference UnetNestEN/TripUNetPlus, unet.py:925-955)."""
+    holder = {}
+
+    def init(rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        up, us, ucfg = _unet.unet_nested_init(k1, 3, 3)
+        ep, es, ecfg = _effnet.init(k2, "efficientnet-b2",
+                                    include_head=False)
+        holder["ucfg"], holder["ecfg"] = ucfg, ecfg
+        p = {"unet": up, "cls": ep,
+             "fc": linear_init(k3, 1408, num_out_classes)}
+        return p, {"unet": us, "cls": es}
+
+    def apply(params, state, images, train=False, rng=None):
+        reg, uns = _unet.unet_nested_apply(params["unet"], state["unet"],
+                                           images, holder["ucfg"], train)
+        feats, ens = _effnet.extract_features(params["cls"], state["cls"],
+                                              images + reg, holder["ecfg"],
+                                              train, rng)
+        cla = linear(params["fc"], jnp.mean(feats, axis=(1, 2)))
+        return cla, {"unet": uns, "cls": ens}
+
+    return Model(name="unetplus_efficientnet", config=None, init=init,
+                 apply=apply)
+
+
 # Fastformer family: 'fastformer' -> CvT (reference models.py:158,174);
 # FastTransformer additive-attention ViT (fast_transformer_torch.py)
 from istvt_tpu.models import cvt as _cvt  # noqa: E402
