@@ -213,6 +213,39 @@ register("efficientnet_cdc")(_effnet_builder("efficientnet_cdc",
                                              "efficientnet-b3", True))
 
 
+# MAT texture nets (reference network/vivit/texture.py:222-315)
+from istvt_tpu.models import mat as _mat  # noqa: E402
+
+
+def _mat_builder(name, truncated: bool):
+    def build(num_out_classes=2, dropout=0.5, m=100, **kw):
+        holder = {}
+
+        def init(rng):
+            if truncated:
+                p, s, cfg = _mat.netrunc_init(rng, num_out_classes)
+            else:
+                p, s, cfg = _mat.mat_init(rng, num_out_classes, m=m)
+            holder["cfg"] = cfg
+            return p, s
+
+        def apply(params, state, images, train=False, rng=None):
+            if truncated:
+                return _mat.netrunc_apply(params, state, images,
+                                          holder["cfg"], train, rng,
+                                          dropout)
+            (logits, aux), ns = _mat.mat_apply(params, state, images,
+                                               holder["cfg"], train, rng)
+            return logits, ns
+
+        return Model(name=name, config=None, init=init, apply=apply)
+    return build
+
+
+register("mat")(_mat_builder("mat", False))
+register("netrunc")(_mat_builder("netrunc", True))
+
+
 # 2D ResNets (reference models.py:48-63) + UNet family
 from istvt_tpu.models import resnet2d as _r2d  # noqa: E402
 from istvt_tpu.models import unet as _unet  # noqa: E402

@@ -166,6 +166,132 @@ def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
     return out
 
 
+def unfold2d(x, kernel: int, stride: int, padding: int):
+    """torch F.unfold over NHWC -> (B, nH, nW, k, k, C)."""
+    patches = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(kernel, kernel), window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, nh, nw, _ = patches.shape
+    c = x.shape[-1]
+    # conv_general_dilated_patches emits (C, k, k) channel-major features
+    return patches.reshape(b, nh, nw, c, kernel, kernel).transpose(
+        0, 1, 2, 4, 5, 3)
+
+
+def fold2d(patches, out_hw: int, kernel: int, stride: int, padding: int):
+    """torch F.fold: scatter-add overlapping (B, nH, nW, k, k, C) patches
+    back to (B, out, out, C). Static k² shift-adds — fine for the
+    windowed-attention ablation path."""
+    b, nh, nw, k, _, c = patches.shape
+    padded = out_hw + 2 * padding
+    out = jnp.zeros((b, padded, padded, c), patches.dtype)
+    for ki in range(k):
+        for kj in range(k):
+            vals = patches[:, :, :, ki, kj]         # (B, nH, nW, C)
+            rows = ki + stride * jnp.arange(nh)
+            cols = kj + stride * jnp.arange(nw)
+            out = out.at[:, rows[:, None], cols[None, :]].add(vals)
+    return out[:, padding: padding + out_hw, padding: padding + out_hw]
+
+
+def local_spatial_attention(p, x, heads: int, grid: int = 19,
+                            kernel: int = 7, stride: int = 3,
+                            padding: int = 6):
+    """Windowed local spatial attention with per-window CLS broadcast
+    (reference module.py:96-143): per frame, the hw grid is unfolded into
+    k x k windows; the frame's spatial CLS token is prepended to each window;
+    attention runs inside each window; window outputs fold back with
+    overlap-add, and the CLS outputs average over windows."""
+    b, n, d = x.shape
+    s = grid * grid + 1
+    t1 = n // s
+    xt = x.reshape(b * t1, s, d)
+    cls_tok = xt[:, 0]                                   # (bt, d)
+    gridx = xt[:, 1:].reshape(b * t1, grid, grid, d)
+    win = unfold2d(gridx, kernel, stride, padding)       # (bt,nh,nw,k,k,d)
+    bt, nh, nw = win.shape[:3]
+    win = win.reshape(bt, nh * nw, kernel * kernel, d)
+    cls_b = jnp.broadcast_to(cls_tok[:, None, None, :],
+                             (bt, nh * nw, 1, d))
+    tokens = jnp.concatenate([cls_b, win], axis=2)       # (bt,n,khw+1,d)
+    qkv = linear(p["to_qkv"], tokens)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_split(u):
+        return u.reshape(bt, nh * nw, kernel * kernel + 1, heads, -1
+                         ).transpose(0, 3, 1, 2, 4)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    out, _ = _sdpa(q, k, v, q.shape[-1] ** -0.5)
+    cls_out = jnp.mean(out[:, :, :, 0], axis=2)          # (bt, h, dh)
+    win_out = out[:, :, :, 1:]                           # (bt,h,n,khw,dh)
+    dh = win_out.shape[-1]
+    win_out = win_out.transpose(0, 1, 2, 3, 4).reshape(
+        bt * heads, nh, nw, kernel, kernel, dh)
+    folded = fold2d(win_out, grid, kernel, stride, padding)
+    folded = folded.reshape(bt, heads, grid * grid, dh)
+    full = jnp.concatenate([cls_out[:, :, None], folded], axis=2)
+    full = full.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
+    return linear(p["to_out"], full)
+
+
+def re_attention(p, x, heads: int):
+    """DeepViT ReAttention (reference module.py:210-252): post-softmax
+    attention maps are remixed across heads by a learned (H, H) matrix
+    then LayerNorm'd over heads. NOTE: the reference returns WITHOUT the
+    to_out projection (its :251 is commented out) — mirrored."""
+    b, n, d = x.shape
+    qkv = linear(p["to_qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, heads) for t in (q, k, v))
+    dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+                      preferred_element_type=jnp.float32) \
+        * q.shape[-1] ** -0.5
+    attn = jax.nn.softmax(dots, axis=-1)
+    attn = jnp.einsum("bhij,hg->bgij", attn, p["reattn_weights"])
+    # LayerNorm over the head axis (reference module.py:221-225)
+    mean = jnp.mean(attn, axis=1, keepdims=True)
+    var = jnp.var(attn, axis=1, keepdims=True)
+    attn = (attn - mean) * jax.lax.rsqrt(var + 1e-5)
+    attn = attn * p["reattn_norm_scale"][None, :, None, None] \
+        + p["reattn_norm_bias"][None, :, None, None]
+    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return _merge_heads(out)
+
+
+def lc_attention(p, x, heads: int):
+    """Last-token cross attention (reference module.py:287-316): only the
+    final token queries all tokens — O(N) instead of O(N²)."""
+    b, n, d = x.shape
+    qkv = linear(p["to_qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, heads) for t in (q, k, v))
+    q = q[:, :, -1:]                                     # (B,H,1,dh)
+    out, _ = _sdpa(q, k, v, q.shape[-1] ** -0.5)
+    return linear(p["to_out"], _merge_heads(out))
+
+
+def leff(p, s, x, grid: int = 14, train: bool = False):
+    """LeFF — Locally-enhanced FeedForward (reference module.py:254-284):
+    up-project, BN+GELU, 3x3 depthwise conv over the token grid, BN+GELU,
+    down-project, BN+GELU. x: (B, grid², dim) -> same. Returns (y, new BN
+    state tuple)."""
+    from istvt_tpu.nn.layers import batchnorm, conv2d, gelu
+    b, n, d = x.shape
+    y = linear(p["up"], x)
+    y, bn1 = batchnorm(p["bn1"], s["bn1"], y, train)
+    y = gelu(y)
+    y = y.reshape(b, grid, grid, -1)
+    y = conv2d(p["dw"], y, padding=1, groups=y.shape[-1])
+    y, bn2 = batchnorm(p["bn2"], s["bn2"], y, train)
+    y = gelu(y).reshape(b, n, -1)
+    y = linear(p["down"], y)
+    y, bn3 = batchnorm(p["bn3"], s["bn3"], y, train)
+    return gelu(y), {"bn1": bn1, "bn2": bn2, "bn3": bn3}
+
+
 def temporal_only_attention(p, x, heads: int, tokens_per_frame: int,
                             return_attn: bool = False):
     """t-axis attention WITHOUT the self-subtract (reference
