@@ -213,6 +213,33 @@ register("efficientnet_cdc")(_effnet_builder("efficientnet_cdc",
                                              "efficientnet-b3", True))
 
 
+# Perceiver over dual frequency views (reference dual_net.py:134-161)
+from istvt_tpu.models import perceiver as _perceiver  # noqa: E402
+
+
+@register("dual_perceiver")
+def _dual_perceiver(num_out_classes=1, dropout=0.0, **kw):
+    holder = {}
+
+    def init(rng):
+        p, cfg = _perceiver.init(rng, input_channels=6,
+                                 num_classes=num_out_classes,
+                                 depth=kw.get("depth", 6),
+                                 num_latents=kw.get("num_latents", 256),
+                                 latent_dim=kw.get("latent_dim", 512))
+        holder["cfg"] = cfg
+        return p, {}
+
+    def apply(params, state, images, train=False, rng=None):
+        views = images if isinstance(images, (list, tuple)) \
+            else (images, images)
+        out, _, _, _ = _perceiver.dual_perceiver_apply(params, views,
+                                                       holder["cfg"])
+        return out, state
+
+    return Model(name="dual_perceiver", config=None, init=init, apply=apply)
+
+
 # MAT texture nets (reference network/vivit/texture.py:222-315)
 from istvt_tpu.models import mat as _mat  # noqa: E402
 

@@ -107,6 +107,18 @@ def per_type_accuracy(logits, labels, fake_types, num_types: int = 5):
     return per_correct / jnp.maximum(per_count, 1.0), per_count
 
 
+def topk_accuracy(logits, labels, ks=(1, 5)):
+    """Top-k accuracies (reference resnet3d/utils/util.py:60-71, the
+    Kinetics eval metric)."""
+    labels = labels.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(-logits, axis=-1)
+    out = {}
+    for k in ks:
+        hit = jnp.any(order[:, :k] == labels[:, None], axis=-1)
+        out[f"top{k}"] = jnp.mean(hit.astype(jnp.float32))
+    return out
+
+
 class Welford:
     """Host-side streaming mean for loss/acc running averages
     (replaces the reference's running counters, train_CNN.py:534-546)."""
