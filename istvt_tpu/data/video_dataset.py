@@ -112,6 +112,24 @@ class VideoSeqDataset(ClipDataset):
             idxs = list(range(start, start + t))
         return [entry.frames[i] for i in idxs]
 
+    def _native_fast_path(self, paths, params) -> Optional[np.ndarray]:
+        """Decode the whole clip in C++ (libjpeg/libpng + resize +
+        normalize, istvt_tpu/native) when no Python-side augmentation is
+        active and the normalization is the plain Xception mean/std."""
+        t = self.transform
+        if params or t.shuffle_grid or t.compress_range or t.augment:
+            return None
+        if tuple(t.mean) != (0.5, 0.5, 0.5) or tuple(t.std) != (0.5, 0.5, 0.5):
+            return None
+        try:
+            from istvt_tpu import native
+            if not native.available():
+                return None
+            return native.decode_frames(paths, t.size, 0.5, 0.5,
+                                        n_threads=min(len(paths), 8))
+        except Exception:
+            return None
+
     def __getitem__(self, index: int) -> Dict:
         entry = self.entries[index % len(self.entries)]
         rng = self._rng(index)
@@ -122,15 +140,18 @@ class VideoSeqDataset(ClipDataset):
             lo, hi = self.compress_param[0], self.compress_param[-1]
             if rng.random() < 0.5:
                 params["quality"] = int(rng.integers(lo, hi + 1))
-        frames = []
         perm = None
-        for p in paths:
-            out = self.transform(_load_frame(p), params)
-            if isinstance(out, tuple):
-                out, perm = out
-            frames.append(out)
+        clip = self._native_fast_path(paths, params)
+        if clip is None:
+            frames = []
+            for p in paths:
+                out = self.transform(_load_frame(p), params)
+                if isinstance(out, tuple):
+                    out, perm = out
+                frames.append(out)
+            clip = np.stack(frames).astype(np.float32)
         item: Dict = {
-            "clips": np.stack(frames).astype(np.float32),
+            "clips": clip,
             "labels": np.int32(entry.label),
         }
         if self.return_fake_type:
