@@ -45,6 +45,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _attn_kernel_mh(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    heads: int):
+    """All-heads variant: refs are (1, S, H*dh); the head loop runs inside
+    the kernel so the caller needs NO head transpose in HBM."""
+    q = q_ref[0]                                # (S, H*dh)
+    k = k_ref[0]
+    v = v_ref[0]
+    s_len, hd = q.shape
+    dh = hd // heads
+    for h in range(heads):                      # static unroll
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (S, S) f32
+        pr = jax.nn.softmax(sc, axis=-1)
+        o = jnp.dot(pr.astype(vh.dtype), vh,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_frame_attention(q, k, v, interpret: bool = False):
     """softmax(q k^T / sqrt(dh)) v, independently per leading index.
@@ -72,16 +93,41 @@ def fused_frame_attention(q, k, v, interpret: bool = False):
     )(q, k, v)
 
 
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_frame_attention_mh(q, k, v, heads: int, interpret: bool = False):
+    """All-heads fused attention on the CONTIGUOUS projection layout:
+    q, k, v (G, S, H*dh) -> (G, S, H*dh), one grid program per G, head
+    loop inside VMEM. No head transposes touch HBM."""
+    g, s, hd = q.shape
+    dh = hd // heads
+    scale = dh ** -0.5
+    spec = pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_mh, scale=scale, heads=heads),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * g * heads * s * s * dh,
+            bytes_accessed=4 * g * s * hd * q.dtype.itemsize,
+            transcendentals=g * heads * s * s,
+        ),
+    )(q, k, v)
+
+
 def spatial_attention_pallas(q, k, v):
     """Drop-in for the XLA einsum path in nn/attention.py:
     q,k,v (B, T1, S, H, dh) -> out (B, T1, S, H, dh).
 
-    Heads fold into the grid axis via one bf16 transpose (~0.2 ms at the
-    paper geometry) — far cheaper than the ~470 MB of f32 probs the
-    unfused path streams through HBM."""
+    The (B, T1, S, H, dh) projection layout is already contiguous as
+    (B·T1, S, H·dh); heads are peeled inside the kernel, so neither the
+    ~470 MB/layer of f32 probs nor any head transpose touches HBM."""
     b, t1, s, h, dh = q.shape
-    fold = lambda u: u.transpose(0, 1, 3, 2, 4).reshape(b * t1 * h, s, dh)
+    fold = lambda u: u.reshape(b * t1, s, h * dh)
     interpret = jax.default_backend() != "tpu"
-    o = fused_frame_attention(fold(q), fold(k), fold(v), interpret=interpret)
-    o = o.reshape(b, t1, h, s, dh).transpose(0, 1, 3, 2, 4)
-    return o
+    o = fused_frame_attention_mh(fold(q), fold(k), fold(v), heads=h,
+                                 interpret=interpret)
+    return o.reshape(b, t1, s, h, dh)
