@@ -143,7 +143,8 @@ def dsttr_apply(
         hn_t = layernorm(layer["attn_t"]["norm"], x)
         res_t = A.temporal_residual_attention(
             layer["attn_t"], hn_t, cfg.heads, s,
-            return_attn=need_attn, attn_bias=bias_t)
+            return_attn=need_attn, attn_bias=bias_t,
+            use_pallas=cfg.use_pallas)
         out_t, at = res_t if need_attn else (res_t, None)
         hn_s = layernorm(layer["attn_s"]["norm"], out_t)
         res_s = A.spatial_only_attention(

@@ -119,7 +119,8 @@ def self_subtract(x_bt, first_passthrough: int = 2):
 
 
 def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
-                                return_attn: bool = False, attn_bias=None):
+                                return_attn: bool = False, attn_bias=None,
+                                use_pallas: bool = False):
     """Self-subtract temporal attention (reference module.py:174-208).
 
     Attention over the t axis per spatial location: Q,K from the residual
@@ -142,6 +143,13 @@ def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
     w = jnp.concatenate([p["to_qk"]["w"], p["to_v"]["w"]], axis=1)
     qkv = linear({"w": w}, x)
     inner = p["to_v"]["w"].shape[1]
+    if use_pallas and not return_attn and attn_bias is None:
+        from istvt_tpu.kernels.attention import temporal_attention_pallas
+        q4 = qkv[..., :inner].reshape(b, t1, s, inner)
+        k4 = qkv[..., inner:2 * inner].reshape(b, t1, s, inner)
+        v4 = qkv[..., 2 * inner:].reshape(b, t1, s, inner)
+        out = temporal_attention_pallas(q4, k4, v4, heads)
+        return linear(p["to_out"], out.reshape(b, n, inner))
     qk, v = qkv[..., : 2 * inner], qkv[..., 2 * inner:]
     qk = self_subtract(qk.reshape(b, t1, s, 2 * inner)).reshape(b, n, -1)
     q, k = jnp.split(qk, 2, axis=-1)

@@ -40,6 +40,21 @@ def test_spatial_attention_pallas_path_matches_xla():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_temporal_attention_pallas_path_matches_xla():
+    rng = np.random.RandomState(3)
+    b, t1, s, d, heads, inner = 2, 4, 9, 16, 2, 16
+    key = jax.random.PRNGKey(5)
+    p = {"to_qk": linear_init(key, d, inner * 2, bias=False),
+         "to_v": linear_init(jax.random.PRNGKey(6), d, inner, bias=False),
+         "to_out": linear_init(jax.random.PRNGKey(7), inner, d)}
+    x = jnp.asarray(rng.randn(b, t1 * s, d).astype(np.float32))
+    with precision.highest():
+        ref = A.temporal_residual_attention(p, x, heads, s, use_pallas=False)
+        out = A.temporal_residual_attention(p, x, heads, s, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_temporal_fused_projection_equivalence():
     """The fused single-GEMM + subtract-after-projection formulation must
     equal projecting the subtracted stream (linearity; module.py:193)."""
