@@ -142,7 +142,7 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, qs_ref, ks_ref, *,
     qs_ref[:] = jnp.concatenate([q[:2], q[2:] - q[1:-1]], axis=0)
     ks = jnp.concatenate([k[:2], k[2:] - k[1:-1]], axis=0)
     ks_ref[:] = ks
-    for h in range(heads):                       # static unroll (small)
+    for h in range(heads):                       # heads-per-block is small
         sl = slice(h * dh, (h + 1) * dh)
         kh, vh = ks[:, :, sl], v[:, :, sl]       # (T1, S, dh)
 
