@@ -33,7 +33,14 @@ def build_parser():
                    help="class logit to attribute (visualize_rel.py:257)")
     p.add_argument("--max_clips", type=int, default=1000,
                    help="stop after this many clips (visualize_rel.py:295)")
-    p.add_argument("--mode", default="lrp", choices=["lrp", "features"])
+    p.add_argument("--mode", default="lrp",
+                   choices=["lrp", "features", "channels"],
+                   help="lrp: relevance overlays (visualize_rel.py); "
+                        "features: grad*input relevance; channels: dump "
+                        "DualNet feature-map channels as PNGs "
+                        "(visualize_feat_map.py:228-236)")
+    p.add_argument("--max_channels", type=int, default=64,
+                   help="channels mode: how many of the 4096 channels")
     p.add_argument("--depth", type=int, default=12,
                    help="transformer depth (12 = paper model)")
     return p
@@ -52,6 +59,9 @@ def main(argv=None):
     from istvt_tpu.interpret import (generate_feature_relevance,
                                      generate_lrp, render_saliency, save_png)
     from istvt_tpu.models import istvt
+
+    if args.mode == "channels":
+        return _dump_channels(args)
 
     feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
         args.input_size, max(args.input_size // 16, 2))
@@ -99,6 +109,37 @@ def main(argv=None):
                      render_saliency(cam_t[t], frame, grid=cfg.feat_hw))
         print(f"clip {i}: wrote {2 * args.seq_len} saliency overlays "
               f"to {args.out_dir}")
+
+
+def _dump_channels(args):
+    """DualNet feature-map channel dump (reference
+    visualize_feat_map.py:228-236: all 2048 channels as PNGs per image)."""
+    import jax
+    import os
+    from istvt_tpu.data import SyntheticVideoDataset, Transform, VideoSeqDataset
+    from istvt_tpu.interpret import save_png
+    from istvt_tpu.models import dualnet
+
+    params, state, cfg = dualnet.init(jax.random.PRNGKey(0),
+                                      img_size=args.input_size)
+    if args.dataset == "synthetic":
+        ds = SyntheticVideoDataset(1, 1, args.input_size)
+        item = ds[0]
+        img = item["clips"][0][None]
+    else:
+        ds = VideoSeqDataset(root=args.data_root, quality=args.quality,
+                             transform=Transform(args.input_size),
+                             size=args.input_size, mode="Vis", seq_len=1)
+        img = ds[0]["clips"][0][None]
+    (_, feat, _, _), _ = dualnet.apply(params, state, img, cfg, train=False)
+    feat = np.asarray(feat)[0]                       # (h, w, 4096)
+    n = min(args.max_channels, feat.shape[-1])
+    for c in range(n):
+        m = feat[:, :, c]
+        m = (m - m.min()) / (m.max() - m.min() + 1e-12)
+        save_png(os.path.join(args.out_dir, f"channel_{c:04d}.png"),
+                 np.uint8(255 * m))
+    print(f"wrote {n} feature-map channels to {args.out_dir}")
 
 
 if __name__ == "__main__":

@@ -201,3 +201,36 @@ def logits(p, x):
 def forward(p, s, x, train: bool = False):
     f, ns = features(p, s, x, train)
     return logits(p, f), ns
+
+
+# ---------------------------------------------------------------------------
+# ClassBlock — deep MLP head over 2048-d features
+# (reference network/xception_for_dualnet.py:104-137)
+
+
+def class_block_init(key, in_dim: int = 2048):
+    keys = jax.random.split(key, 4)
+    return {
+        "c0": linear_init(keys[0], in_dim, 1024),
+        "c1": linear_init(keys[1], 1024, 512),
+        "c2": linear_init(keys[2], 512, 512),
+        "c3": linear_init(keys[3], 512, 1),
+    }
+
+
+def class_block_apply(p, x, train: bool = False, rng=None,
+                      drop: float = 0.5):
+    """Dropout -> Linear -> LeakyReLU(0.1) x3 -> Linear(512, 1)."""
+    from istvt_tpu.nn.layers import dropout
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.1 * v)
+
+    keys = jax.random.split(rng, 3) if rng is not None else [None] * 3
+    h = dropout(keys[0], x, drop, train)
+    h = lrelu(linear(p["c0"], h))
+    h = dropout(keys[1], h, drop, train)
+    h = lrelu(linear(p["c1"], h))
+    h = dropout(keys[2], h, drop, train)
+    h = lrelu(linear(p["c2"], h))
+    return linear(p["c3"], h)
