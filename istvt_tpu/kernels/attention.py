@@ -200,24 +200,85 @@ def fused_temporal_attention(q, k, v, heads: int, interpret: bool = False):
     )(q, k, v)
 
 
+def _temporal_reference(q, k, v, heads: int):
+    """XLA reference of the fused temporal kernel (same math), used as
+    the VJP recompute path — Pallas kernels have no autodiff rule."""
+    b, t1, s, hd = q.shape
+    dh = hd // heads
+    sub = lambda u: jnp.concatenate([u[:, :2], u[:, 2:] - u[:, 1:-1]],
+                                    axis=1)
+    qs = sub(q).reshape(b, t1, s, heads, dh)
+    ks = sub(k).reshape(b, t1, s, heads, dh)
+    vh = v.reshape(b, t1, s, heads, dh)
+    dots = jnp.einsum("bishd,bjshd->bshij", qs, ks,
+                      preferred_element_type=jnp.float32) * dh ** -0.5
+    attn = jax.nn.softmax(dots, axis=-1)
+    out = jnp.einsum("bshij,bjshd->bishd", attn.astype(v.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(b, t1, s, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def temporal_attention_pallas(q, k, v, heads: int):
     """Drop-in for nn/attention.py's temporal path: q, k, v
-    (B, T1, S, I) PRE-subtract (the kernel applies it in VMEM)."""
+    (B, T1, S, I) PRE-subtract (the kernel applies it in VMEM).
+    Differentiable: forward runs the fused kernel; backward recomputes
+    through the XLA formulation (flash-style recompute)."""
     interpret = jax.default_backend() != "tpu"
     return fused_temporal_attention(q, k, v, heads=heads,
                                     interpret=interpret)
 
 
+def _temporal_fwd(q, k, v, heads):
+    return temporal_attention_pallas(q, k, v, heads), (q, k, v)
+
+
+def _temporal_bwd(heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _temporal_reference(a, b, c, heads),
+                     q, k, v)
+    return vjp(g)
+
+
+temporal_attention_pallas.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def _spatial_reference(q, k, v):
+    """XLA reference for the spatial kernel's VJP recompute."""
+    dh = q.shape[-1]
+    dots = jnp.einsum("btihd,btjhd->bthij", q, k,
+                      preferred_element_type=jnp.float32) * dh ** -0.5
+    attn = jax.nn.softmax(dots, axis=-1)
+    return jnp.einsum("bthij,btjhd->btihd", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@jax.custom_vjp
 def spatial_attention_pallas(q, k, v):
     """Drop-in for the XLA einsum path in nn/attention.py:
     q,k,v (B, T1, S, H, dh) -> out (B, T1, S, H, dh).
 
     The (B, T1, S, H, dh) projection layout is already contiguous as
     (B·T1, S, H·dh); heads are peeled inside the kernel, so neither the
-    ~470 MB/layer of f32 probs nor any head transpose touches HBM."""
+    ~470 MB/layer of f32 probs nor any head transpose touches HBM.
+    Differentiable: forward is the fused kernel; backward recomputes
+    through the XLA formulation (flash-style recompute)."""
     b, t1, s, h, dh = q.shape
     fold = lambda u: u.reshape(b * t1, s, h * dh)
     interpret = jax.default_backend() != "tpu"
     o = fused_frame_attention_mh(fold(q), fold(k), fold(v), heads=h,
                                  interpret=interpret)
     return o.reshape(b, t1, s, h, dh)
+
+
+def _spatial_fwd(q, k, v):
+    return spatial_attention_pallas(q, k, v), (q, k, v)
+
+
+def _spatial_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_spatial_reference, q, k, v)
+    return vjp(g)
+
+
+spatial_attention_pallas.defvjp(_spatial_fwd, _spatial_bwd)

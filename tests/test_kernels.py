@@ -55,6 +55,37 @@ def test_temporal_attention_pallas_path_matches_xla():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_kernel_gradients_match_xla():
+    """custom_vjp backward (XLA recompute) must match grads of the plain
+    XLA attention path."""
+    rng = np.random.RandomState(4)
+    b, t1, s, d, heads, inner = 2, 3, 10, 16, 2, 16
+    key = jax.random.PRNGKey(8)
+    p_s = {"to_qkv": linear_init(key, d, inner * 3, bias=False),
+           "to_out": linear_init(jax.random.PRNGKey(9), inner, d)}
+    p_t = {"to_qk": linear_init(jax.random.PRNGKey(10), d, inner * 2,
+                                bias=False),
+           "to_v": linear_init(jax.random.PRNGKey(11), d, inner,
+                               bias=False),
+           "to_out": linear_init(jax.random.PRNGKey(12), inner, d)}
+    x = jnp.asarray(rng.randn(b, t1 * s, d).astype(np.float32))
+
+    # gradient w.r.t. x through both paths
+    def loss(xx, pal, which):
+        if which == "s":
+            return jnp.sum(A.spatial_only_attention(
+                p_s, xx, heads, s, use_pallas=pal) ** 2)
+        return jnp.sum(A.temporal_residual_attention(
+            p_t, xx, heads, s, use_pallas=pal) ** 2)
+
+    with precision.highest():
+        for which in ("s", "t"):
+            g0 = jax.grad(loss)(x, False, which)
+            g1 = jax.grad(loss)(x, True, which)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                       atol=2e-4, rtol=2e-4)
+
+
 def test_temporal_fused_projection_equivalence():
     """The fused single-GEMM + subtract-after-projection formulation must
     equal projecting the subtracted stream (linearity; module.py:193)."""
