@@ -33,6 +33,8 @@ class ISTVTConfig:
     emb_dropout: float = 0.0
     # compute knobs (not in reference; TPU-first additions)
     use_pallas: bool = False       # fused Pallas attention kernels
+    remat: bool = False            # jax.checkpoint each ST layer (trades
+                                   # recompute FLOPs for activation memory)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for the fast path
 

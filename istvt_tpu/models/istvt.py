@@ -126,20 +126,12 @@ def dsttr_apply(
     x = x.reshape(b, (t + 1) * s, d)
 
     attns: Dict[str, List[jax.Array]] = {"t": [], "s": []}
-    for i, layer in enumerate(p["layers"]):
-        lrng = None
-        if rng is not None:
-            rng, lrng = jax.random.split(rng)
-            lrng, frng = jax.random.split(lrng)
-        else:
-            frng = None
-        bias_t = attn_bias["t"][i] if attn_bias is not None else None
-        bias_s = attn_bias["s"][i] if attn_bias is not None else None
+    # Attention maps are only materialized when the caller needs them
+    # (LRP rollout / attn_bias grads) — the hot path skips them.
+    need_attn = return_attn or attn_bias is not None
 
-        # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99).
-        # Attention maps are only materialized when the caller needs them
-        # (LRP rollout / attn_bias grads) — the hot path skips them.
-        need_attn = return_attn or attn_bias is not None
+    def run_layer(x, layer, bias_t, bias_s, frng):
+        # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
         hn_t = layernorm(layer["attn_t"]["norm"], x)
         res_t = A.temporal_residual_attention(
             layer["attn_t"], hn_t, cfg.heads, s,
@@ -154,8 +146,22 @@ def dsttr_apply(
         out_s, asp = res_s if need_attn else (res_s, None)
         x = out_s + x
         f = _feed_forward(layer["ff"],
-                          layernorm(layer["ff"]["norm"], x), cfg, train, frng)
-        x = f + x
+                          layernorm(layer["ff"]["norm"], x), cfg, train,
+                          frng)
+        return f + x, at, asp
+
+    if cfg.remat and not need_attn:
+        # recompute each layer in the backward pass instead of storing
+        # its activations (SURVEY.md: jax.checkpoint/remat for memory)
+        run_layer = jax.checkpoint(run_layer, static_argnums=())
+
+    for i, layer in enumerate(p["layers"]):
+        frng = None
+        if rng is not None:
+            rng, frng = jax.random.split(rng)
+        bias_t = attn_bias["t"][i] if attn_bias is not None else None
+        bias_s = attn_bias["s"][i] if attn_bias is not None else None
+        x, at, asp = run_layer(x, layer, bias_t, bias_s, frng)
         if return_attn:
             attns["t"].append(at)
             attns["s"].append(asp)

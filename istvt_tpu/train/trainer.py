@@ -86,6 +86,10 @@ class Trainer:
         self.ckpt = CheckpointManager(tc.checkpoint_dir) \
             if tc.checkpoint_dir else None
         self.best_metric = -float("inf")
+        self.metrics = None
+        if tc.checkpoint_dir:
+            from istvt_tpu.train.logging import MetricsLogger
+            self.metrics = MetricsLogger(tc.checkpoint_dir)
 
     def init_state(self, seed: Optional[int] = None) -> S.TrainState:
         rng = jax.random.PRNGKey(self.tc.seed if seed is None else seed)
@@ -131,12 +135,23 @@ class Trainer:
             self.log(f"epoch {epoch}: train loss {run_loss.mean:.4f} "
                      f"acc {run_acc.mean:.4f} ({seen / max(dt, 1e-9):.1f} clips/s)")
             metric = run_acc.mean
+            if self.metrics:
+                self.metrics.log(int(ts.step),
+                                 {"loss": run_loss.mean,
+                                  "accuracy": run_acc.mean,
+                                  "clips_per_sec": seen / max(dt, 1e-9)},
+                                 prefix="train/")
             if val_loader is not None and eval_every_epoch:
                 ev = evaluate(self.model, ts.params, ts.model_state,
                               val_loader, self.mesh,
                               compute_acer=self.dc.dataset == "oulu")
                 self.log(f"epoch {epoch}: val {ev}")
                 metric = ev["accuracy"]
+                if self.metrics:
+                    self.metrics.log(int(ts.step),
+                                     {k: v for k, v in ev.items()
+                                      if isinstance(v, float)},
+                                     prefix="val/")
             if self.ckpt:
                 self.ckpt.save(int(ts.step), jax.device_get(ts), metric=metric)
                 if metric > self.best_metric:
