@@ -90,6 +90,38 @@ def test_param_pspecs_tensor_parallel_rules():
     assert specs["xcep"]["conv1"]["w"] == P()
 
 
+def test_shard_map_step_matches_jit_path():
+    """Explicit-pmean shard_map DP step must agree with the
+    sharding-propagated jit step on loss/accuracy."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from istvt_tpu.parallel.shard_map_step import make_shard_map_train_step
+
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    tc = TrainConfig()
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-3, 100))
+    ts0 = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    batch = _batch()
+    rng = jax.random.PRNGKey(42)
+
+    jit_step = train_step.make_train_step(model, opt, donate=False)
+    _, m_jit = jit_step(ts0, batch, rng)
+
+    mesh = make_mesh(data=8, model=1)
+    sm_step = make_shard_map_train_step(model, opt, mesh)
+    ts_r = jax.device_put(ts0, jax.sharding.NamedSharding(mesh, P()))
+    sbatch = shd.place(batch, shd.batch_shardings(batch, mesh))
+    ts1, m_sm = sm_step(ts_r, sbatch, rng)
+
+    # Semantics differ slightly by design: the shard_map path computes BN
+    # batch statistics per replica (the reference DataParallel behavior,
+    # SURVEY.md §7 'BatchNorm under DP'), the jit path over the global
+    # batch (sync-BN). Tolerance covers that BN-stat delta.
+    assert abs(float(m_jit["loss"]) - float(m_sm["loss"])) < 5e-3
+    assert abs(float(m_jit["accuracy"]) - float(m_sm["accuracy"])) < 1e-6
+    assert int(ts1.step) == 1
+
+
 def test_reference_epoch_schedule():
     sched = reference_epoch_schedule(base_lr=5e-4, warmup_epochs=20,
                                      steps_per_epoch=10)
