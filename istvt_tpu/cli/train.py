@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel axis size (DP gets the rest)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 forward/backward vs f32 master params")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each ST layer (memory saver)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas attention kernels (TPU)")
     p.add_argument("--reference_schedule", action="store_true",
                    help="use the reference's manual lr rule "
                         "(train_CNN.py:209-211) instead of cosine")
@@ -95,12 +101,14 @@ def main(argv=None):
     feat_hw = {300: 19, 299: 19, 256: 16, 224: 14, 75: 5, 72: 5}.get(
         args.input_size, max((args.input_size // 16), 2))
     cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
-                      feat_hw=feat_hw, dropout=args.dropout)
+                      feat_hw=feat_hw, dropout=args.dropout,
+                      use_pallas=args.use_pallas, remat=args.remat)
     model = model_selection(args.model_name, num_out_classes=1,
                             dropout=args.dropout, cfg=cfg)
     tc = TrainConfig(model_name=args.model_name, num_epochs=args.epochs,
                      base_lr=args.lr, optimizer=args.optimizer,
-                     seed=args.seed, checkpoint_dir=args.checkpoint_dir)
+                     seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+                     compute_dtype="bfloat16" if args.bf16 else "float32")
     dc = DataConfig(root=args.data_root, quality=args.quality,
                     seq_len=args.seq_len, input_size=args.input_size,
                     batch_size=args.batch_size, dataset=args.dataset)

@@ -88,3 +88,5 @@ class TrainConfig:
     log_every: int = 1000           # reference prints every 1000 iters
     sync_bn: bool = True            # global-batch BN stats under the mesh
     debug_nans: bool = False
+    compute_dtype: str = "float32"  # 'bfloat16': bf16 forward/backward
+                                    # against f32 master params

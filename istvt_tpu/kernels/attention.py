@@ -192,6 +192,10 @@ def fused_temporal_attention(q, k, v, heads: int, interpret: bool = False):
             pltpu.VMEM((t1, s, lane_tile), q.dtype),  # subtracted k
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # f32 training inputs put the double-buffered working set a
+            # hair over the default 16 MB scoped-vmem budget
+            vmem_limit_bytes=32 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * heads * t1 * t1 * s * dh,
             bytes_accessed=4 * b * t1 * s * hd * q.dtype.itemsize,

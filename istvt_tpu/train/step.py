@@ -50,16 +50,24 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable = None,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Returns jitted step(ts, batch, rng) -> (ts, metrics_dict).
 
     batch: {'clips': (B,T,H,W,3) or 'images': (B,H,W,3), 'labels': (B,)}.
+    compute_dtype=jnp.bfloat16 runs the forward/backward in bf16 against
+    f32 master params (the cast is inside the differentiated function, so
+    gradients come back f32); losses/metrics stay f32.
     """
     loss_fn = loss_fn or (lambda logits, batch:
                           losses.bce_with_logits(logits, batch["labels"]))
 
     def compute_loss(params, model_state, batch, rng):
         x = batch.get("clips", batch.get("images"))
+        if compute_dtype is not None:
+            from istvt_tpu.core import tree as _tree
+            params = _tree.cast(params, compute_dtype)
+            x = x.astype(compute_dtype)
         logits, new_state = model.apply(params, model_state, x,
                                         train=True, rng=rng)
         loss = loss_fn(logits, batch)

@@ -81,8 +81,11 @@ class Trainer:
             sched = cosine_schedule(tc.base_lr, spe * tc.num_epochs,
                                     warmup_steps=spe * min(tc.warmup_epochs, 1))
         self.optimizer = S.make_optimizer(tc, sched)
+        compute_dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" \
+            else None
         self.step_fn = S.make_train_step(self.model, self.optimizer,
-                                         loss_fn=loss_fn)
+                                         loss_fn=loss_fn,
+                                         compute_dtype=compute_dtype)
         self.ckpt = CheckpointManager(tc.checkpoint_dir) \
             if tc.checkpoint_dir else None
         self.best_metric = -float("inf")
