@@ -86,6 +86,12 @@ def dsttr_init(key, cfg: ISTVTConfig):
 
 def _feed_forward(p, x, cfg: ISTVTConfig, train: bool, rng):
     """GELU MLP dim -> 4*dim -> dim (reference module.py:23-34)."""
+    if cfg.use_pallas and (not train or cfg.dropout == 0.0):
+        # fused fc1+gelu+fc2 kernel (hidden tile never touches HBM);
+        # only valid when no dropout splits the two matmuls
+        from istvt_tpu.kernels.mlp import fused_ff
+        return fused_ff(x, p["fc1"]["w"], p["fc1"]["b"],
+                        p["fc2"]["w"], p["fc2"]["b"])
     k1 = k2 = None
     if rng is not None:
         k1, k2 = jax.random.split(rng)

@@ -86,6 +86,27 @@ def test_kernel_gradients_match_xla():
                                        atol=2e-4, rtol=2e-4)
 
 
+def test_fused_ff_matches_reference():
+    """Fused fc1+gelu+fc2 kernel vs XLA reference. Tolerance covers the
+    in-kernel tanh-approx GELU (exact erf doesn't lower in Pallas)."""
+    from istvt_tpu.kernels.mlp import _ff_reference, fused_ff
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 70, 32), jnp.float32)
+    w1 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (32, 128))
+    b1 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (128,))
+    w2 = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (128, 32))
+    b2 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (32,))
+    ref = _ff_reference(x.reshape(-1, 32), w1, b1, w2, b2).reshape(x.shape)
+    out = fused_ff(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+    # gradients flow through the custom_vjp recompute path
+    g = jax.grad(lambda xx: float(0) + jnp.sum(
+        fused_ff(xx, w1, b1, w2, b2) ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(
+        _ff_reference(xx.reshape(-1, 32), w1, b1, w2, b2) ** 2))(
+            x.reshape(-1, 32)).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-2)
+
+
 def test_temporal_fused_projection_equivalence():
     """The fused single-GEMM + subtract-after-projection formulation must
     equal projecting the subtracted stream (linearity; module.py:193)."""
