@@ -78,6 +78,7 @@ class VideoSeqDataset(ClipDataset):
         self.transform = transform or Transform(size)
         self.size = size
         self.mode = mode
+        self.get_triplet = get_triplet
         self.seq_len = seq_len
         self.require_idx = require_idx
         self.return_fake_type = return_fake_type
@@ -160,7 +161,33 @@ class VideoSeqDataset(ClipDataset):
             item["perm"] = perm.astype(np.int32)
         if self.mode == "Vis":
             item["paths"] = paths
+        if self.get_triplet and self.get_triplet != "Test" and \
+                self.mode == "Train":
+            item.update(self._sample_triplet(entry, rng, params))
         return item
+
+    def _sample_triplet(self, anchor: mf.VideoEntry, rng, params) -> Dict:
+        """Triplet companions (reference `get_triplet` kwarg,
+        train_CNN.py:172): positive = another clip with the anchor's
+        label, negative = a clip of the opposite label."""
+        same = [i for i, e in enumerate(self.entries)
+                if e.label == anchor.label and e is not anchor]
+        diff = [i for i, e in enumerate(self.entries)
+                if e.label != anchor.label]
+        out: Dict = {}
+        for key, pool in (("clips_pos", same), ("clips_neg", diff)):
+            if not pool:
+                out[key] = None
+                continue
+            e = self.entries[pool[int(rng.integers(0, len(pool)))]]
+            frames = []
+            for pth in self._pick_clip(e, rng):
+                o = self.transform(_load_frame(pth), params)
+                frames.append(o[0] if isinstance(o, tuple) else o)
+            out[key] = np.stack(frames).astype(np.float32)
+        if out["clips_pos"] is None or out["clips_neg"] is None:
+            return {}
+        return out
 
 
 class Celeb(VideoSeqDataset):

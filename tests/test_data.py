@@ -66,6 +66,21 @@ def test_video_seq_dataset_items(tmp_path):
     np.testing.assert_array_equal(item["clips"], again["clips"])
 
 
+def test_triplet_sampling(tmp_path):
+    root = str(tmp_path)
+    _make_ffpp_tree(root)
+    ds = VideoSeqDataset(root=root, quality="hq", size=32, seq_len=4,
+                         mode="Train", get_triplet="BCE",
+                         transform=Transform(32))
+    item = ds[0]
+    assert "clips_pos" in item and "clips_neg" in item
+    assert item["clips_pos"].shape == item["clips"].shape
+    # positive shares the label, negative flips it (by construction the
+    # tree has 2 real + 2 fake videos per quality)
+    again = ds[0]
+    np.testing.assert_array_equal(item["clips_neg"], again["clips_neg"])
+
+
 def test_vis_mode_returns_paths(tmp_path):
     root = str(tmp_path)
     _make_ffpp_tree(root)
