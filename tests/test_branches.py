@@ -1,0 +1,97 @@
+"""Specialized training branches: triplet + adversarial alternation
+(reference train_CNN.py:236-828, SURVEY.md §3.2)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from istvt_tpu.models import unet as U
+from istvt_tpu.train import step as S
+from istvt_tpu.train.branches import (
+    AdversarialState,
+    make_adversarial_train_step,
+    make_triplet_train_step,
+)
+from istvt_tpu.train.step import TrainState
+
+
+def test_triplet_train_step():
+    p, s, cfg = U.modified_unet_init(jax.random.PRNGKey(0), 3, 3,
+                                     mode="add")
+
+    def triple_apply(params, state, a, pos, n, train=False, rng=None):
+        def fwd(params, state, x, train=False, rng=None):
+            return U.modified_unet_apply(params, state, x, cfg, train, rng)
+        return U.triple_apply(fwd, params, state, a, pos, n, train=train,
+                              rng=rng)
+
+    opt = optax.sgd(1e-4)
+    ts = TrainState(params=p, model_state=s, opt_state=opt.init(p),
+                    step=jnp.zeros((), jnp.int32))
+    step = make_triplet_train_step(triple_apply, opt, loss_kind="total")
+    rng0 = np.random.RandomState(0)
+    batch = {
+        "clips": jnp.asarray(rng0.randn(2, 48, 48, 3), jnp.float32),
+        "clips_pos": jnp.asarray(rng0.randn(2, 48, 48, 3), jnp.float32),
+        "clips_neg": jnp.asarray(rng0.randn(2, 48, 48, 3), jnp.float32),
+        "labels": jnp.asarray([0, 1]),
+    }
+    ts2, m = step(ts, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(ts2.step) == 1
+    # params actually moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_adversarial_train_step():
+    key = jax.random.PRNGKey(0)
+    bb_p, bb_s, bb_cfg = U.ensemble_en_init(key, num_nets=3,
+                                            model="efficientnet-b0",
+                                            num_classes=1)
+    feat_dim = bb_cfg["feat_dim"]
+    sol_p, sol_s = U.jigsaw_solver_init(jax.random.PRNGKey(1), 9, feat_dim)
+    ccls_p = U.compression_cls_init(jax.random.PRNGKey(2), feat_dim)
+
+    def ensemble_apply(params, state, inputs, train, rng):
+        return U.ensemble_en_apply(params, state, inputs, bb_cfg, train,
+                                   rng)
+
+    def solver_apply(params, state, feat, train):
+        return U.jigsaw_solver_apply(params, state, feat, train)
+
+    def ccls_apply(params, feat):
+        return U.compression_cls_apply(params, feat)
+
+    bopt, sopt, copt = optax.sgd(1e-4), optax.sgd(1e-4), optax.sgd(1e-4)
+    st = AdversarialState(
+        backbone=TrainState(bb_p, bb_s, bopt.init(bb_p),
+                            jnp.zeros((), jnp.int32)),
+        solver_params=sol_p, solver_state=sol_s,
+        solver_opt=sopt.init(sol_p),
+        ccls_params=ccls_p, ccls_opt=copt.init(ccls_p))
+    step = make_adversarial_train_step(ensemble_apply, solver_apply,
+                                       ccls_apply, bopt, sopt, copt)
+    rng0 = np.random.RandomState(0)
+    b = 2
+    batch = {
+        "views": [jnp.asarray(rng0.randn(b, 48, 48, 3), jnp.float32)
+                  for _ in range(3)],
+        "labels": jnp.asarray([0, 1]),
+        "perm": jnp.asarray(rng0.permutation(9)[None].repeat(b, 0)),
+        "qual": jnp.asarray([1, 0]),
+    }
+    st2, m = step(st, batch, jax.random.PRNGKey(3))
+    for k in ("loss", "solver_loss", "ccls_loss"):
+        assert np.isfinite(float(m[k])), k
+    assert int(st2.backbone.step) == 1
+    # all three parameter groups moved
+    for a, b_ in ((st.backbone.params, st2.backbone.params),
+                  (st.solver_params, st2.solver_params),
+                  (st.ccls_params, st2.ccls_params)):
+        d = jax.tree_util.tree_map(
+            lambda u, v: float(jnp.abs(u - v).max()), a, b_)
+        assert max(jax.tree_util.tree_leaves(d)) > 0
