@@ -119,49 +119,46 @@ def fused_frame_attention_mh(q, k, v, heads: int, interpret: bool = False):
 
 
 def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, qs_ref, ks_ref, *,
-                     scale: float, heads: int):
-    """Fused self-subtract temporal attention for ONE clip:
-    refs (1, T1, S, H*dh). The subtract couples adjacent t rows
-    (reference module.py:193) — trivial once the whole clip's projections
+                     scale: float):
+    """Fused self-subtract temporal attention, refs (1, T1, N, dh) where
+    N folds (location, head) — every (s, h) is an independent T1 x T1
+    attention, so no head loop exists. The subtract couples adjacent t
+    rows (reference module.py:193) — trivial once the clip's projections
     sit in VMEM. Scores are (T1, T1) per location: tiny matmuls that
-    would waste the MXU, so they run as VPU broadcast-multiply-reduces.
+    would waste the MXU, so they run as wide VPU multiply-reduces.
 
-    Mosaic notes: (a) every arithmetic intermediate stays 2-D — (S, dh)
-    multiplies with lane reduces into (S, 1) columns concatenated to
-    (S, T1) logits; (b) the i loop is a fori_loop over VMEM *scratch*
-    refs (dynamic indexing of values is not lowered, and a full static
-    heads x T1 unroll overflows the compiler).
+    Mosaic notes: (a) arithmetic intermediates stay 2-D — (N, dh)
+    multiplies with lane reduces into (N, 1) columns concatenated to
+    (N, T1) logits; (b) the query-row loop is a fori_loop reading VMEM
+    *scratch* refs (dynamic indexing of values is not lowered, and full
+    static unrolls overflow the remote compiler).
     """
-    q = q_ref[0]                                 # (T1, S, HD) bf16
+    q = q_ref[0]                                 # (T1, N, dh)
     k = k_ref[0]
     v = v_ref[0]
-    t1, s_len, hd = q.shape
-    dh = hd // heads
+    t1 = q.shape[0]
     # self-subtract on the projected stream (commutes with the pointwise
     # projection; rows 0..1 pass through, later rows become differences)
     qs_ref[:] = jnp.concatenate([q[:2], q[2:] - q[1:-1]], axis=0)
     ks = jnp.concatenate([k[:2], k[2:] - k[1:-1]], axis=0)
     ks_ref[:] = ks
-    for h in range(heads):                       # heads-per-block is small
-        sl = slice(h * dh, (h + 1) * dh)
-        kh, vh = ks[:, :, sl], v[:, :, sl]       # (T1, S, dh)
 
-        def body(i, _):
-            qi = qs_ref[i, :, sl]                # (S, dh), dynamic row
-            logits = jnp.concatenate(
-                [jnp.sum((qi * kh[j]).astype(jnp.float32), axis=-1,
-                         keepdims=True)
-                 for j in range(t1)], axis=1) * scale        # (S, T1)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
-            out = p[:, 0:1] * vh[0]
-            for j in range(1, t1):
-                out = out + p[:, j:j + 1] * vh[j]            # (S, dh)
-            o_ref[0, i, :, sl] = out.astype(o_ref.dtype)
-            return 0
+    def body(i, _):
+        qi = qs_ref[i]                           # (N, dh), dynamic row
+        logits = jnp.concatenate(
+            [jnp.sum((qi * ks[j]).astype(jnp.float32), axis=-1,
+                     keepdims=True)
+             for j in range(t1)], axis=1) * scale            # (N, T1)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+        out = p[:, 0:1] * v[0]
+        for j in range(1, t1):
+            out = out + p[:, j:j + 1] * v[j]                 # (N, dh)
+        o_ref[0, i] = out.astype(o_ref.dtype)
+        return 0
 
-        jax.lax.fori_loop(0, t1, body, 0)
+    jax.lax.fori_loop(0, t1, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -169,39 +166,46 @@ def fused_temporal_attention(q, k, v, heads: int, interpret: bool = False):
     """q, k, v: (B, T1, S, H*dh) pre-subtract projections ->
     (B, T1, S, H*dh) attention output.
 
-    The grid tiles (batch, head-groups): each program sees a 128-lane
-    slice of the head dim (2 heads at dh=64) so the working set stays
-    well under VMEM even with double-buffered pipelining."""
+    Per-location temporal attention treats every (s, head) pair
+    IDENTICALLY, so the (S, H, dh) tail reshapes (free, contiguous) to
+    (S*H, dh) and the kernel has no head loop at all — one fori over the
+    T1 query rows with wide (N_tile, dh) VPU ops. Grid tiles (batch,
+    location-blocks) to bound VMEM."""
     b, t1, s, hd = q.shape
     dh = hd // heads
+    n = s * heads
     scale = dh ** -0.5
-    lane_tile = 128 if hd % 128 == 0 and not interpret else hd
-    heads_per_block = lane_tile // dh
-    spec = pl.BlockSpec((1, t1, s, lane_tile),
-                        lambda i, j: (i, 0, 0, j),
+    fold = lambda u: u.reshape(b, t1, n, dh)
+    q, k, v = fold(q), fold(k), fold(v)
+    # location tile: halve until the double-buffered working set fits
+    n_tile = n
+    itemsize = q.dtype.itemsize
+    while n_tile % 2 == 0 and \
+            4 * 2 * t1 * n_tile * dh * itemsize > 12 * 1024 * 1024:
+        n_tile //= 2
+    spec = pl.BlockSpec((1, t1, n_tile, dh),
+                        lambda i, j: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_temporal_kernel, scale=scale,
-                          heads=heads_per_block),
+    out = pl.pallas_call(
+        functools.partial(_temporal_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(b, hd // lane_tile),
+        grid=(b, n // n_tile),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         scratch_shapes=[
-            pltpu.VMEM((t1, s, lane_tile), q.dtype),  # subtracted q
-            pltpu.VMEM((t1, s, lane_tile), q.dtype),  # subtracted k
+            pltpu.VMEM((t1, n_tile, dh), q.dtype),  # subtracted q
+            pltpu.VMEM((t1, n_tile, dh), q.dtype),  # subtracted k
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # f32 training inputs put the double-buffered working set a
-            # hair over the default 16 MB scoped-vmem budget
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * heads * t1 * t1 * s * dh,
-            bytes_accessed=4 * b * t1 * s * hd * q.dtype.itemsize,
-            transcendentals=b * heads * t1 * t1 * s,
+            flops=2 * 2 * b * t1 * t1 * n * dh,
+            bytes_accessed=4 * b * t1 * n * dh * itemsize,
+            transcendentals=b * t1 * t1 * n,
         ),
     )(q, k, v)
+    return out.reshape(b, t1, s, hd)
 
 
 def _temporal_reference(q, k, v, heads: int):
