@@ -126,8 +126,9 @@ class VideoSeqDataset(ClipDataset):
             from istvt_tpu import native
             if not native.available():
                 return None
+            n_threads = min(len(paths), os.cpu_count() or 1)
             return native.decode_frames(paths, t.size, 0.5, 0.5,
-                                        n_threads=min(len(paths), 8))
+                                        n_threads=n_threads)
         except Exception:
             return None
 

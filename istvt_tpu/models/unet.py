@@ -490,6 +490,25 @@ def fusion_en_apply(p, s, inputs, cfg, train=False, rng=None):
     return (linear(p["fusion_fc"], branch_cls), clas), ns
 
 
+def recombine_features(gs, ids, imgs, label):
+    """Quadnet real/fake feature regrouping (reference
+    network/utils.py:32-42): branches 0/2 hold the (real-view, fake-view)
+    pair whose roles swap with the label; returns
+    (g_real, id_fake, g_fake, id_real, img_fake, img_real). Static-shape
+    rowwise select replaces the reference's boolean concat."""
+    def pick(a, b):
+        l = label.reshape(-1, *([1] * (a.ndim - 1))).astype(bool)
+        return jnp.where(l, b, a)
+
+    g_real = pick(gs[0], gs[2])
+    id_real = pick(ids[0], ids[2])
+    g_fake = pick(gs[2], gs[0])
+    id_fake = pick(ids[2], ids[0])
+    img_real = pick(imgs[0], imgs[2])
+    img_fake = pick(imgs[2], imgs[0])
+    return g_real, id_fake, g_fake, id_real, img_fake, img_real
+
+
 # ---------------------------------------------------------------------------
 # domain-generalization heads (reference unet_.py:392-523)
 

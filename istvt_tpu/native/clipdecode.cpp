@@ -127,36 +127,52 @@ bool decode_file(const char* path, Image* im) {
 }
 
 // Bilinear resize + normalize into the output slot (half-pixel centers,
-// matching PIL/torch interpolate align_corners=False).
+// matching PIL/torch interpolate align_corners=False). Separable
+// two-pass with precomputed column weights: the vertical blend runs on
+// contiguous rows (SIMD-friendly), the horizontal gather reuses the
+// per-column index/weight tables across all rows.
 void resize_normalize(const Image& im, int out_size, float mean, float std,
                       float* out) {
   const float sy = float(im.h) / out_size;
   const float sx = float(im.w) / out_size;
   const float inv = 1.0f / (255.0f * std);
   const float bias = -mean / std;
+  const int w3 = im.w * 3;
+
+  // per-column tables (computed once, reused for every row)
+  std::vector<int> x0(out_size), x1(out_size);
+  std::vector<float> wx(out_size);
+  for (int ox = 0; ox < out_size; ox++) {
+    float fx = (ox + 0.5f) * sx - 0.5f;
+    if (fx < 0) fx = 0;
+    int xi = int(fx);
+    x0[ox] = xi * 3;
+    x1[ox] = (xi + 1 < im.w ? xi + 1 : im.w - 1) * 3;
+    wx[ox] = fx - xi;
+  }
+
+  std::vector<float> row(w3);  // vertically-blended full-width row
   for (int oy = 0; oy < out_size; oy++) {
     float fy = (oy + 0.5f) * sy - 0.5f;
     if (fy < 0) fy = 0;
     int y0 = int(fy);
     int y1 = y0 + 1 < im.h ? y0 + 1 : im.h - 1;
     float wy = fy - y0;
+    const uint8_t* r0 = &im.data[size_t(y0) * w3];
+    const uint8_t* r1 = &im.data[size_t(y1) * w3];
+    const float a = 1.0f - wy;
+    for (int i = 0; i < w3; i++)            // contiguous: vectorizes
+      row[i] = a * r0[i] + wy * r1[i];
+    float* dst = out + size_t(oy) * out_size * 3;
     for (int ox = 0; ox < out_size; ox++) {
-      float fx = (ox + 0.5f) * sx - 0.5f;
-      if (fx < 0) fx = 0;
-      int x0 = int(fx);
-      int x1 = x0 + 1 < im.w ? x0 + 1 : im.w - 1;
-      float wx = fx - x0;
-      const uint8_t* p00 = &im.data[(size_t(y0) * im.w + x0) * 3];
-      const uint8_t* p01 = &im.data[(size_t(y0) * im.w + x1) * 3];
-      const uint8_t* p10 = &im.data[(size_t(y1) * im.w + x0) * 3];
-      const uint8_t* p11 = &im.data[(size_t(y1) * im.w + x1) * 3];
-      float* dst = out + (size_t(oy) * out_size + ox) * 3;
-      for (int c = 0; c < 3; c++) {
-        float top = p00[c] * (1 - wx) + p01[c] * wx;
-        float bot = p10[c] * (1 - wx) + p11[c] * wx;
-        float v = top * (1 - wy) + bot * wy;
-        dst[c] = v * inv + bias;
-      }
+      const float b = wx[ox];
+      const float* p0 = &row[x0[ox]];
+      const float* p1 = &row[x1[ox]];
+      const float c0 = 1.0f - b;
+      dst[0] = (c0 * p0[0] + b * p1[0]) * inv + bias;
+      dst[1] = (c0 * p0[1] + b * p1[1]) * inv + bias;
+      dst[2] = (c0 * p0[2] + b * p1[2]) * inv + bias;
+      dst += 3;
     }
   }
 }
