@@ -119,6 +119,26 @@ class Trainer:
             eval_every_epoch: bool = True) -> S.TrainState:
         ts = ts if ts is not None else self.restore(self.init_state())
         rng = jax.random.PRNGKey(self.tc.seed + 1)
+
+        # preemption safety (SURVEY.md §5.3: the reference is restartable
+        # only by hand) — SIGTERM/SIGINT snapshots the full train state
+        # before exiting, so --continue_train resumes exactly
+        import signal
+        state_box = {"ts": ts}
+
+        def _save_and_exit(signum, frame):
+            if self.ckpt is not None:
+                self.log(f"signal {signum}: checkpointing before exit")
+                self.ckpt.save(int(state_box["ts"].step),
+                               jax.device_get(state_box["ts"]))
+            raise SystemExit(128 + signum)
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _save_and_exit)
+            except ValueError:  # non-main thread
+                pass
         for epoch in range(self.tc.num_epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
@@ -126,6 +146,7 @@ class Trainer:
             for batch in device_feed(train_loader, self.mesh):
                 rng, srng = jax.random.split(rng)
                 ts, m = self.step_fn(ts, batch, srng)
+                state_box["ts"] = ts
                 bs = batch["clips"].shape[0] if "clips" in batch \
                     else batch["images"].shape[0]
                 run_loss.update(float(m["loss"]), bs)
@@ -159,4 +180,6 @@ class Trainer:
                 self.ckpt.save(int(ts.step), jax.device_get(ts), metric=metric)
                 if metric > self.best_metric:
                     self.best_metric = metric
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
         return ts
