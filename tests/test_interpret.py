@@ -54,6 +54,58 @@ def test_attn_bias_grad_path_nonzero():
     assert not np.allclose(np.asarray(cam_s_a), np.asarray(cam_s_r))
 
 
+def test_rollout_matches_numpy_reference():
+    """The gradient-weighted rollout must equal an explicit numpy
+    computation R = (I + Ā_L)···(I + Ā_1) with Ā = E_h[(grad ⊙ A)+]."""
+    from istvt_tpu.interpret import lrp as L
+
+    rng = np.random.RandomState(0)
+    b, h, t1, s_tok = 1, 2, 3, 4
+    attn = jnp.asarray(rng.rand(2, b, h, t1, s_tok, s_tok).astype(np.float32))
+    grad = jnp.asarray(rng.randn(2, b, h, t1, s_tok, s_tok).astype(np.float32))
+    abars = [L._head_agg(attn[i], grad[i]) for i in range(2)]
+    r = np.asarray(L._rollout(abars))
+
+    a_np = [np.mean(np.maximum(np.asarray(grad[i]) * np.asarray(attn[i]), 0),
+                    axis=1) for i in range(2)]
+    want = np.broadcast_to(np.eye(s_tok, dtype=np.float32),
+                           (b, t1, s_tok, s_tok)).copy()
+    for a in a_np:
+        want = want + np.einsum("btij,btjk->btik", a, want)
+    np.testing.assert_allclose(r, want, atol=1e-5, rtol=1e-5)
+
+
+def test_attn_bias_grads_equal_attention_jacobian():
+    """d logit / d attn_bias must equal the true gradient w.r.t. the
+    post-softmax attention probabilities: verified against finite
+    differences on one attention entry."""
+    params, state, clips = _setup()
+    attns, grads, logits = __import__(
+        "istvt_tpu.interpret.lrp", fromlist=["attention_maps_and_grads"]
+    ).attention_maps_and_grads(params, state, clips, TINY, index=0)
+
+    t1 = TINY.num_frames + 1
+    s_tok = TINY.tokens_per_frame
+    # perturb one spatial-attention prob in layer 0 by eps via attn_bias
+    eps = 1e-3
+    bias = {
+        "t": [jnp.zeros((2, TINY.heads, s_tok, t1, t1)) for _ in range(2)],
+        "s": [jnp.zeros((2, TINY.heads, t1, s_tok, s_tok))
+              for _ in range(2)],
+    }
+    bias["s"][0] = bias["s"][0].at[0, 0, 1, 2, 3].set(eps)
+    from istvt_tpu.models import istvt
+    (lp, _), _ = istvt.apply(params, state, clips, TINY, attn_bias=bias,
+                             return_attn=True)
+    (l0, _), _ = istvt.apply(params, state, clips, TINY, attn_bias=jax.
+                             tree_util.tree_map(jnp.zeros_like, bias),
+                             return_attn=True)
+    fd = (float(lp[0, 0]) - float(l0[0, 0])) / eps
+    analytic = float(grads["s"][0][0, 0, 1, 2, 3])
+    assert abs(fd - analytic) < 5e-3 * max(abs(analytic), 1.0), \
+        (fd, analytic)
+
+
 def test_feature_relevance_shape():
     params, state, clips = _setup()
     rel = generate_feature_relevance(params, state, clips, TINY)
