@@ -107,6 +107,10 @@ def main(argv=None):
                      render_saliency(cam_s[t], frame, grid=cfg.feat_hw))
             save_png(os.path.join(args.out_dir, f"{names[t]}_t.png"),
                      render_saliency(cam_t[t], frame, grid=cfg.feat_hw))
+            # plain resized frame alongside, like the reference
+            # (visualize_rel.py:276)
+            save_png(os.path.join(args.out_dir, f"{names[t]}.png"),
+                     np.uint8(255 * np.clip(frame, 0, 1)))
         print(f"clip {i}: wrote {2 * args.seq_len} saliency overlays "
               f"to {args.out_dir}")
 
