@@ -67,6 +67,20 @@ def main():
 
     clips_per_sec = batch / dt
     p50_latency_ms = dt * 1000.0 / batch
+
+    # true single-clip p50 latency (BASELINE.md tracks it separately from
+    # batched throughput)
+    lat_ms = None
+    if os.environ.get("BENCH_LATENCY", "1") == "1" and batch > 1:
+        clip1 = clips[:1]
+        float(fwd(params, state, clip1))
+        lat = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(fwd(params, state, clip1 + 0.01 * (i + 1)))
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        lat_ms = lat[len(lat) // 2] * 1000.0
     result = {
         "metric": "istvt_fwd_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -80,6 +94,8 @@ def main():
             "per_clip_ms": round(p50_latency_ms, 3),
         },
     }
+    if lat_ms is not None:
+        result["extra"]["p50_latency_ms_bs1"] = round(lat_ms, 2)
     print(json.dumps(result))
 
 

@@ -56,12 +56,10 @@ def main(argv=None):
     params, state = model.init(jax.random.PRNGKey(0))
     if args.checkpoint_dir:
         from istvt_tpu.core.checkpoint import CheckpointManager
+        from istvt_tpu.core.config import TrainConfig
         from istvt_tpu.train.schedule import cosine_schedule
         from istvt_tpu.train import step as S
-        opt = S.make_optimizer(__import__("istvt_tpu.core.config",
-                                          fromlist=["TrainConfig"]
-                                          ).TrainConfig(),
-                               cosine_schedule(1e-4, 1))
+        opt = S.make_optimizer(TrainConfig(), cosine_schedule(1e-4, 1))
         ts = S.create_train_state(model, jax.random.PRNGKey(0), opt)
         mgr = CheckpointManager(args.checkpoint_dir)
         restored = mgr.restore(template=ts)
