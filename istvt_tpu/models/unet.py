@@ -202,30 +202,78 @@ def trip_efficientnet_apply(p, s, inputs: Sequence, cfg, train=False,
 
 
 def quadnet_encoder_init(key, id_len=896, model="efficientnet-b4",
-                         use_full=False):
-    k1, k2 = jax.random.split(key)
+                         use_full=False, head="linear"):
+    """Quadnet encoder family (reference unet.py:637-924):
+
+      head='linear': QuadnetEncoder / QuadEfficientNetLite — pooled
+        feature splits into identity [:id_len] / texture [id_len:],
+        fc classifies the id half (or full).
+      head='dfc':    QuadEfficientNetLiteDoubleFC — fc->tanh->fc->tanh->fc.
+      head='conv':   QuadEfficientNet — conv_g/conv_id 1x1 + BN + swish
+        heads over the feature map; classify pooled id stream.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     ep, es, ecfg = effnet.init(k1, model, include_head=False)
     width = effnet.PARAMS[model][0]
     feat_dim = effnet.round_filters(1280, width)
-    fc_in = feat_dim if use_full else id_len
-    p = {"backbone": ep, "fc": linear_init(k2, fc_in, 2)}
-    return p, es, {"cls_cfg": ecfg, "id_len": id_len, "use_full": use_full}
+    p: Dict = {"backbone": ep}
+    s: Dict = {"backbone": es}
+    if head == "conv":
+        half = feat_dim // 2
+        p["conv_g"] = conv2d_init(k2, feat_dim, half, 1, bias=True)
+        p["conv_id"] = conv2d_init(k3, feat_dim, half, 1, bias=True)
+        p["bn_g"], s["bn_g"] = batchnorm_init(half)
+        p["bn_id"], s["bn_id"] = batchnorm_init(half)
+        p["fc"] = linear_init(k4, half, 2)
+        id_len = half
+    elif head == "dfc":
+        fc_in = feat_dim if use_full else id_len
+        p["fc"] = linear_init(k2, fc_in, 512)
+        p["fc2"] = linear_init(k3, 512, 256)
+        p["fc3"] = linear_init(k4, 256, 2)
+    else:
+        fc_in = feat_dim if use_full else id_len
+        p["fc"] = linear_init(k2, fc_in, 2)
+    return p, s, {"cls_cfg": ecfg, "id_len": id_len, "use_full": use_full,
+                  "head": head}
 
 
 def quadnet_encoder_apply(p, s, inputs: Sequence, cfg, train=False,
                           rng=None):
-    """-> (gs, ids, clas, gs_full, ids_full) (reference unet.py:743-795):
-    the pooled feature splits into identity [0:id_len] and texture
-    [id_len:] halves; classification reads the id half (or full)."""
+    """-> (gs, ids, clas, gs_full, ids_full) (reference unet.py:660-795,
+    864-924); see quadnet_encoder_init for head variants."""
     b = inputs[0].shape[0]
     x = jnp.concatenate(list(inputs), axis=0)
-    fmap, ns = effnet.extract_features(p["backbone"], s, x, cfg["cls_cfg"],
-                                       train, rng)
-    v = jnp.mean(fmap, axis=(1, 2))
-    idl = cfg["id_len"]
-    id_full, g_full = fmap[..., :idl], fmap[..., idl:]
-    idv, gv = v[:, :idl], v[:, idl:]
-    cla = linear(p["fc"], v if cfg["use_full"] else idv)
+    bs = s["backbone"] if "backbone" in s else s
+    fmap, bns = effnet.extract_features(p["backbone"], bs, x,
+                                        cfg["cls_cfg"], train, rng)
+    ns: Dict = {"backbone": bns}
+    head = cfg.get("head", "linear")
+    if head == "conv":
+        # (reference unet.py:660-694): bn(conv(x)) -> swish streams
+        g_map = conv2d(p["conv_g"], fmap)
+        g_map, ns["bn_g"] = batchnorm(p["bn_g"], s["bn_g"], g_map, train)
+        g_map = swish(g_map)
+        id_map = conv2d(p["conv_id"], fmap)
+        id_map, ns["bn_id"] = batchnorm(p["bn_id"], s["bn_id"], id_map,
+                                        train)
+        id_map = swish(id_map)
+        gv = g_map.reshape(g_map.shape[0], -1)
+        idv = id_map.reshape(id_map.shape[0], -1)
+        cla = linear(p["fc"], jnp.mean(id_map, axis=(1, 2)))
+        id_full, g_full = id_map, g_map
+    else:
+        v = jnp.mean(fmap, axis=(1, 2))
+        idl = cfg["id_len"]
+        id_full, g_full = fmap[..., :idl], fmap[..., idl:]
+        idv, gv = v[:, :idl], v[:, idl:]
+        feat = v if cfg["use_full"] else idv
+        if head == "dfc":
+            h = jnp.tanh(linear(p["fc"], feat))
+            h = jnp.tanh(linear(p["fc2"], h))
+            cla = linear(p["fc3"], h)
+        else:
+            cla = linear(p["fc"], feat)
     n = len(inputs)
 
     def sp(u):

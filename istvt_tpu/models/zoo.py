@@ -371,13 +371,15 @@ for _k in ("triplet_efficientnet", "triplet_efficientnet_cdc",
     register(_k)(_trip_effnet_builder(_k))
 
 
-def _quadnet_builder(name, id_len=896, use_full=False):
+def _quadnet_builder(name, id_len=896, use_full=False,
+                     model="efficientnet-b4", head="linear"):
     def build(num_out_classes=2, dropout=0.5, **kw):
         holder = {}
 
         def init(rng):
             p, s, cfg = _unet.quadnet_encoder_init(rng, id_len=id_len,
-                                                   use_full=use_full)
+                                                   use_full=use_full,
+                                                   model=model, head=head)
             holder["cfg"] = cfg
             return p, s
 
@@ -395,10 +397,19 @@ def _quadnet_builder(name, id_len=896, use_full=False):
     return build
 
 
-for _k, _full in (("quadnet", False), ("quadnet_full", True),
-                  ("quadnet_conv", False), ("quadnet_dfc", False),
-                  ("quadnet_decoder", False)):
-    register(_k)(_quadnet_builder(_k, use_full=_full))
+# key -> class mapping per reference models.py:116-132:
+# quadnet[_full] -> QuadEfficientNetLite (b2, id 704), quadnet_conv ->
+# QuadEfficientNet (conv heads), quadnet_dfc -> ...DoubleFC,
+# quadnet_decoder -> QuadnetEncoder (b4, id 896)
+register("quadnet")(_quadnet_builder(
+    "quadnet", id_len=704, model="efficientnet-b2"))
+register("quadnet_full")(_quadnet_builder(
+    "quadnet_full", id_len=704, use_full=True, model="efficientnet-b2"))
+register("quadnet_conv")(_quadnet_builder(
+    "quadnet_conv", model="efficientnet-b2", head="conv"))
+register("quadnet_dfc")(_quadnet_builder(
+    "quadnet_dfc", id_len=704, model="efficientnet-b2", head="dfc"))
+register("quadnet_decoder")(_quadnet_builder("quadnet_decoder"))
 
 
 @register("decoder")
