@@ -1,0 +1,31 @@
+"""Serving Predictor: bucket padding, threshold semantics."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.core.config import ISTVTConfig
+from istvt_tpu.models.registry import model_selection
+from istvt_tpu.serve import Predictor
+
+TINY = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=1)
+
+
+def test_predictor_bucket_padding_consistency():
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, state = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, state, batch_sizes=(4,))
+    clips = np.random.RandomState(0).randn(6, 2, 72, 72, 3).astype(
+        np.float32)
+    out = pred.predict(clips)
+    assert out["logits"].shape == (6,)
+    assert out["probs"].shape == (6,)
+    # padding must not contaminate results: same clips, different grouping
+    out_a = pred.predict(clips[:3])
+    np.testing.assert_allclose(out["logits"][:3], out_a["logits"],
+                               atol=1e-5)
+    # threshold-at-0 semantics (reference train_CNN.py:527)
+    np.testing.assert_array_equal(out["preds"],
+                                  (out["logits"] > 0).astype(np.int32))
+    np.testing.assert_allclose(out["probs"],
+                               1 / (1 + np.exp(-out["logits"])), atol=1e-6)
