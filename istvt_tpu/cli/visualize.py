@@ -69,10 +69,7 @@ def main(argv=None):
                       feat_hw=feat_hw, depth=args.depth)
     params, state = istvt.init(jax.random.PRNGKey(0), cfg)
     if args.model_path:
-        from istvt_tpu.core.checkpoint import load_pytree
-        restored = load_pytree(args.model_path,
-                               {"params": params, "state": state})
-        params, state = restored["params"], restored["state"]
+        params, state = _restore(args.model_path, params, state)
 
     if args.dataset == "synthetic":
         ds = SyntheticVideoDataset(min(args.max_clips, 8), args.seq_len,
@@ -113,6 +110,33 @@ def main(argv=None):
                      np.uint8(255 * np.clip(frame, 0, 1)))
         print(f"clip {i}: wrote {2 * args.seq_len} saliency overlays "
               f"to {args.out_dir}")
+
+
+def _restore(path, params, state):
+    """Accept either a Trainer checkpoint dir (TrainState snapshots) or a
+    bare {'params','state'} pytree save."""
+    import jax
+    try:
+        from istvt_tpu.core.checkpoint import CheckpointManager
+        from istvt_tpu.core.config import TrainConfig
+        from istvt_tpu.train import step as S
+        from istvt_tpu.train.schedule import cosine_schedule
+
+        mgr = CheckpointManager(path)
+        if mgr.latest_step() is not None:
+            opt = S.make_optimizer(TrainConfig(), cosine_schedule(1e-4, 1))
+            template = S.TrainState(
+                params=params, model_state=state,
+                opt_state=opt.init(params),
+                step=jax.numpy.zeros((), jax.numpy.int32))
+            ts = mgr.restore(template=template)
+            print(f"restored trainer step {mgr.latest_step()}")
+            return ts.params, ts.model_state
+    except Exception:
+        pass
+    from istvt_tpu.core.checkpoint import load_pytree
+    restored = load_pytree(path, {"params": params, "state": state})
+    return restored["params"], restored["state"]
 
 
 def _dump_channels(args):
