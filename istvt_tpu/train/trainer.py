@@ -23,6 +23,48 @@ from istvt_tpu.train import step as S
 from istvt_tpu.train.schedule import cosine_schedule, reference_epoch_schedule
 
 
+def criterion_for(model_name: str, lambda_triplet: float = 0.3):
+    """Per-model criterion dispatch (reference train_CNN.py:72-148):
+    returns (loss_callable_or_None, uses_triplet_items). None means the
+    default BCE path; triplet/quad/adversarial criteria feed the
+    specialized steps in train/branches.py with the matching losses."""
+    from istvt_tpu.train import losses as L
+
+    table = {
+        "tripunet_efficientnet_add": (L.total_loss, True),
+        "tripunet_efficientnet_mul": (L.total_loss, True),
+        "unetplus_efficientnet": (L.total_loss, True),
+        "unet_resnet": (L.total_loss, True),
+        "triplet_efficientnet": (
+            lambda c, f, y: L.cla_triplet_loss(c, f, y, lambda_triplet),
+            True),
+        "triplet_efficientnet_cdc": (
+            lambda c, f, y: L.cla_triplet_loss(c, f, y, lambda_triplet),
+            True),
+        "quadplet_efficientnet": (
+            lambda f, c, y: L.quadplet_cla_loss(f, c, y,
+                                                lam_t=lambda_triplet),
+            True),
+        "quadnet": (lambda g, i, c, y: L.quad_loss(g, i, c, y,
+                                                   lambda_triplet), True),
+        "quadnet_full": (lambda g, i, c, y: L.quad_loss(
+            g, i, c, y, lambda_triplet), True),
+        "quadnet_conv": (lambda g, i, c, y: L.quad_loss(
+            g, i, c, y, lambda_triplet), True),
+        "quadnet_dfc": (lambda g, i, c, y: L.quad_loss(
+            g, i, c, y, lambda_triplet), True),
+        "quadnet_decoder": (lambda g, i, c, y: L.quad_loss(
+            g, i, c, y, lambda_triplet), True),
+        "trip_multi_en": (
+            lambda f, c, y: L.multi_trip_loss(f, c, y, lam=lambda_triplet),
+            True),
+        "jigsaw_multi_xcep_adv": (L.jigsaw_loss, False),
+        "jigsaw_multi_xcep_adv_pair": (L.jigsaw_loss, False),
+        "jigsaw_multi_en": (L.jigsaw_loss, False),
+    }
+    return table.get(model_name, (None, False))
+
+
 def evaluate(model, params, model_state, loader, mesh=None,
              compute_acer: bool = False,
              num_fake_types: int = 5) -> Dict[str, float]:
