@@ -26,7 +26,10 @@ PER_CHIP_BASELINE = 5000.0 / 8.0
 def main():
     from istvt_tpu.core.config import ISTVTConfig
     from istvt_tpu.core import tree as tree_util
+    from istvt_tpu.core.platform import enable_compilation_cache
     from istvt_tpu.models import istvt
+
+    enable_compilation_cache()
 
     platform = jax.devices()[0].platform
     # batch size: saturate the MXU on TPU; stay small on CPU fallback
