@@ -205,7 +205,8 @@ def fold2d(patches, out_hw: int, kernel: int, stride: int, padding: int):
 
 def local_spatial_attention(p, x, heads: int, grid: int = 19,
                             kernel: int = 7, stride: int = 3,
-                            padding: int = 6):
+                            padding: int = 6,
+                            reference_bug_compat: bool = False):
     """Windowed local spatial attention with per-window CLS broadcast
     (reference module.py:96-143): per frame, the hw grid is unfolded into
     k x k windows; the frame's spatial CLS token is prepended to each window;
@@ -215,7 +216,12 @@ def local_spatial_attention(p, x, heads: int, grid: int = 19,
     s = grid * grid + 1
     t1 = n // s
     xt = x.reshape(b * t1, s, d)
-    cls_tok = xt[:, 0]                                   # (bt, d)
+    # The reference drops token 0 BEFORE reading its "CLS"
+    # (module.py:117-118: x = x[:,:,1:,:].squeeze(); cls = x[:,:,0,:]),
+    # so its per-window CLS is actually PATCH 0 — and .squeeze() crashes
+    # at batch 1. reference_bug_compat=True reproduces that selection for
+    # golden tests; the default uses the real spatial CLS.
+    cls_tok = xt[:, 1] if reference_bug_compat else xt[:, 0]   # (bt, d)
     gridx = xt[:, 1:].reshape(b * t1, grid, grid, d)
     win = unfold2d(gridx, kernel, stride, padding)       # (bt,nh,nw,k,k,d)
     bt, nh, nw = win.shape[:3]
@@ -232,7 +238,10 @@ def local_spatial_attention(p, x, heads: int, grid: int = 19,
 
     q, k, v = heads_split(q), heads_split(k), heads_split(v)
     out, _ = _sdpa(q, k, v, q.shape[-1] ** -0.5)
-    cls_out = jnp.mean(out[:, :, :, 0], axis=2)          # (bt, h, dh)
+    # the reference also slices BEFORE reading its output "CLS"
+    # (module.py:132-134), so compat mode averages patch-0's output
+    cls_src = 1 if reference_bug_compat else 0
+    cls_out = jnp.mean(out[:, :, :, cls_src], axis=2)    # (bt, h, dh)
     win_out = out[:, :, :, 1:]                           # (bt,h,n,khw,dh)
     dh = win_out.shape[-1]
     win_out = win_out.transpose(0, 1, 2, 3, 4).reshape(
