@@ -251,6 +251,74 @@ def _temporal_bwd(heads, res, g):
 temporal_attention_pallas.defvjp(_temporal_fwd, _temporal_bwd)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float, heads: int):
+    """Flash-style attention backward for one (batch·frame) block:
+    refs (1, S, H*dh). Probs are recomputed per head in VMEM (nothing
+    spilled from the forward); standard softmax backward:
+        P  = softmax(QK^T·s);  dV = P^T dO;  dP = dO V^T
+        dS = P ⊙ (dP - rowsum(P ⊙ dP));  dQ = dS K·s;  dK = dS^T Q·s
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s_len, hd = q.shape
+    dh = hd // heads
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        dots = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (S, S)
+        m = jnp.max(dots, axis=1, keepdims=True)
+        e = jnp.exp(dots - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        pb = p.astype(vh.dtype)
+        dv = jax.lax.dot_general(
+            pb, doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (S, dh)
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (S, S)
+        ds = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))
+        ds = (ds * scale).astype(qh.dtype)
+        dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (S, dh)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_frame_attention_bwd(q, k, v, do, heads: int,
+                              interpret: bool = False):
+    """(G, S, H*dh) x4 -> (dq, dk, dv), same shapes."""
+    g, s, hd = q.shape
+    dh = hd // heads
+    scale = dh ** -0.5
+    spec = pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, heads=heads),
+        out_shape=(shape, shape, shape),
+        grid=(g,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * g * heads * s * s * dh,
+            bytes_accessed=7 * g * s * hd * q.dtype.itemsize,
+            transcendentals=g * heads * s * s,
+        ),
+    )(q, k, v, do)
+
+
 def _spatial_reference(q, k, v):
     """XLA reference for the spatial kernel's VJP recompute."""
     dh = q.shape[-1]
@@ -285,6 +353,13 @@ def _spatial_fwd(q, k, v):
 
 def _spatial_bwd(res, g):
     q, k, v = res
+    b, t1, s, h, dh = q.shape
+    if jax.default_backend() == "tpu":
+        fold = lambda u: u.reshape(b * t1, s, h * dh)
+        dq, dk, dv = fused_frame_attention_bwd(
+            fold(q), fold(k), fold(v), fold(g), heads=h)
+        unfold = lambda u: u.reshape(b, t1, s, h, dh)
+        return unfold(dq), unfold(dk), unfold(dv)
     _, vjp = jax.vjp(_spatial_reference, q, k, v)
     return vjp(g)
 

@@ -86,6 +86,37 @@ def test_kernel_gradients_match_xla():
                                        atol=2e-4, rtol=2e-4)
 
 
+def test_fused_frame_attention_bwd_matches_vjp():
+    """The flash-style backward kernel must match jax.vjp of the
+    reference attention (interpret mode)."""
+    from istvt_tpu.kernels.attention import fused_frame_attention_bwd
+    rng = np.random.RandomState(7)
+    g, s, h, dh = 3, 26, 2, 16
+    q, k, v, do = (jnp.asarray(rng.randn(g, s, h * dh).astype(np.float32))
+                   for _ in range(4))
+
+    def ref(q, k, v):
+        qh = q.reshape(g, s, h, dh)
+        kh = k.reshape(g, s, h, dh)
+        vh = v.reshape(g, s, h, dh)
+        dots = jnp.einsum("gihd,gjhd->ghij", qh, kh) * dh ** -0.5
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum("ghij,gjhd->gihd", attn, vh)
+        return out.reshape(g, s, h * dh)
+
+    with precision.highest():
+        _, vjp = jax.vjp(ref, q, k, v)
+        want_dq, want_dk, want_dv = vjp(do)
+        dq, dk, dv = fused_frame_attention_bwd(q, k, v, do, heads=h,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_fused_ff_matches_reference():
     """Fused fc1+gelu+fc2 kernel vs XLA reference. Tolerance covers the
     in-kernel tanh-approx GELU (exact erf doesn't lower in Pallas)."""
