@@ -208,6 +208,105 @@ def fused_temporal_attention(q, k, v, heads: int, interpret: bool = False):
     return out.reshape(b, t1, s, hd)
 
 
+def _temporal_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+                         dq_ref, dk_ref, dv_ref,
+                         qs_ref, ks_ref, dqs_ref, dks_ref, dv_acc_ref, *,
+                         scale: float):
+    """Backward of the fused temporal attention, refs (1, T1, N, dh).
+    Recomputes P per query row (flash-style), accumulates dK/dV across
+    rows in scratch, then applies the TRANSPOSED self-subtract to map
+    residual-stream grads back to the projection outputs:
+        res[t] = x[t] - x[t-1] (t>=2)  =>  dx[t] = dres[t] - dres[t+1]
+        (last row keeps only its direct term; rows 0..1 pass through).
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    t1 = q.shape[0]
+    qs_ref[:] = jnp.concatenate([q[:2], q[2:] - q[1:-1]], axis=0)
+    ks = jnp.concatenate([k[:2], k[2:] - k[1:-1]], axis=0)
+    ks_ref[:] = ks
+    dks_ref[:] = jnp.zeros_like(ks)
+    dv_acc_ref[:] = jnp.zeros_like(v)
+
+    def body(i, _):
+        qi = qs_ref[i]                                       # (N, dh)
+        doi = do_ref[0, i]
+        logits = jnp.concatenate(
+            [jnp.sum((qi * ks[j]).astype(jnp.float32), axis=-1,
+                     keepdims=True)
+             for j in range(t1)], axis=1) * scale            # (N, T1)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)            # (N, T1) f32
+        # dp[:, j] = sum_d do_i * v_j
+        dp = jnp.concatenate(
+            [jnp.sum((doi * v[j]).astype(jnp.float32), axis=-1,
+                     keepdims=True)
+             for j in range(t1)], axis=1)                    # (N, T1)
+        ds = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True)) * scale
+        ds = ds.astype(q.dtype)
+        pb = p.astype(q.dtype)
+        dqs = ds[:, 0:1] * ks[0]
+        for j in range(1, t1):
+            dqs = dqs + ds[:, j:j + 1] * ks[j]               # (N, dh)
+        dqs_ref[i] = dqs
+        for j in range(t1):
+            dks_ref[j] += ds[:, j:j + 1] * qi
+            dv_acc_ref[j] += pb[:, j:j + 1] * doi
+        return 0
+
+    jax.lax.fori_loop(0, t1, body, 0)
+    dqs = dqs_ref[:]
+    dks = dks_ref[:]
+    # transposed self-subtract
+    dq_ref[0] = jnp.concatenate(
+        [dqs[0:1], dqs[1:t1 - 1] - dqs[2:t1], dqs[t1 - 1:]], axis=0)
+    dk_ref[0] = jnp.concatenate(
+        [dks[0:1], dks[1:t1 - 1] - dks[2:t1], dks[t1 - 1:]], axis=0)
+    dv_ref[0] = dv_acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_temporal_attention_bwd(q, k, v, do, heads: int,
+                                 interpret: bool = False):
+    """(B, T1, S, H*dh) x4 -> (dq, dk, dv) wrt the PRE-subtract streams."""
+    b, t1, s, hd = q.shape
+    dh = hd // heads
+    n = s * heads
+    scale = dh ** -0.5
+    fold = lambda u: u.reshape(b, t1, n, dh)
+    qf, kf, vf, dof = fold(q), fold(k), fold(v), fold(do)
+    n_tile = n
+    itemsize = q.dtype.itemsize
+    while n_tile % 2 == 0 and \
+            11 * t1 * n_tile * dh * itemsize > 24 * 1024 * 1024:
+        n_tile //= 2
+    spec = pl.BlockSpec((1, t1, n_tile, dh), lambda i, j: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(qf.shape, q.dtype)
+    scratch = pltpu.VMEM((t1, n_tile, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_temporal_bwd_kernel, scale=scale),
+        out_shape=(shape, shape, shape),
+        grid=(b, n // n_tile),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        scratch_shapes=[scratch] * 5,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * t1 * t1 * n * dh,
+            bytes_accessed=7 * b * t1 * n * dh * itemsize,
+            transcendentals=b * t1 * t1 * n,
+        ),
+    )(qf, kf, vf, dof)
+    unfold = lambda u: u.reshape(b, t1, s, hd)
+    return unfold(dq), unfold(dk), unfold(dv)
+
+
 def _temporal_reference(q, k, v, heads: int):
     """XLA reference of the fused temporal kernel (same math), used as
     the VJP recompute path — Pallas kernels have no autodiff rule."""
@@ -243,6 +342,8 @@ def _temporal_fwd(q, k, v, heads):
 
 def _temporal_bwd(heads, res, g):
     q, k, v = res
+    if jax.default_backend() == "tpu":
+        return fused_temporal_attention_bwd(q, k, v, g, heads=heads)
     _, vjp = jax.vjp(lambda a, b, c: _temporal_reference(a, b, c, heads),
                      q, k, v)
     return vjp(g)

@@ -117,6 +117,29 @@ def test_fused_frame_attention_bwd_matches_vjp():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_fused_temporal_attention_bwd_matches_vjp():
+    """Temporal backward kernel (incl. transposed self-subtract) vs
+    jax.vjp of the XLA reference (interpret mode)."""
+    from istvt_tpu.kernels.attention import (_temporal_reference,
+                                             fused_temporal_attention_bwd)
+    rng = np.random.RandomState(8)
+    b, t1, s, h, dh = 2, 4, 9, 2, 16
+    q, k, v, do = (jnp.asarray(
+        rng.randn(b, t1, s, h * dh).astype(np.float32)) for _ in range(4))
+    with precision.highest():
+        _, vjp = jax.vjp(lambda a, bb, c: _temporal_reference(a, bb, c, h),
+                         q, k, v)
+        want_dq, want_dk, want_dv = vjp(do)
+        dq, dk, dv = fused_temporal_attention_bwd(q, k, v, do, heads=h,
+                                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_fused_ff_matches_reference():
     """Fused fc1+gelu+fc2 kernel vs XLA reference. Tolerance covers the
     in-kernel tanh-approx GELU (exact erf doesn't lower in Pallas)."""
