@@ -309,6 +309,28 @@ def quadnet_decoder_apply(p, s, x, train=False, use_swish=False):
     return swish(x), ns
 
 
+def quadnet_landmark_decoder_init(key, cin=896):
+    """QuadnetLandmarkDecoder / QuadnetRecDecoder (reference
+    unet.py:830-862): like QuadnetDecoder but 896-ch input, 1-ch output,
+    NO trailing BN+swish."""
+    p, s = quadnet_decoder_init(key, cin=cin, cout=1)
+    p.pop("bn_out")
+    s.pop("bn_out")
+    return p, s
+
+
+def quadnet_landmark_decoder_apply(p, s, x, train=False, use_swish=True):
+    act = swish if use_swish else relu
+    ns: Dict = {}
+    x = conv2d(p["conv_in"], x)
+    x, ns["bn_in"] = batchnorm(p["bn_in"], s["bn_in"], x, train)
+    x = act(x)
+    for i in range(5):
+        x, ns[f"up{i}"] = up_single(p[f"up{i}"], s[f"up{i}"], x, train,
+                                    use_swish)
+    return x, ns
+
+
 # ---------------------------------------------------------------------------
 # pretext heads (reference unet.py:325-411)
 

@@ -410,6 +410,22 @@ register("quadnet_conv")(_quadnet_builder(
 register("quadnet_dfc")(_quadnet_builder(
     "quadnet_dfc", id_len=704, model="efficientnet-b2", head="dfc"))
 register("quadnet_decoder")(_quadnet_builder("quadnet_decoder"))
+# quadnet_landmark: QuadnetEncoder + QuadnetLandmarkDecoder side model
+# (reference train_CNN.py:97-99 + models usage)
+register("quadnet_landmark")(_quadnet_builder("quadnet_landmark"))
+
+
+@register("landmark_decoder")
+def _landmark_decoder(num_out_classes=1, dropout=0.0, **kw):
+    def init(rng):
+        return _unet.quadnet_landmark_decoder_init(rng)
+
+    def apply(params, state, feats, train=False, rng=None):
+        return _unet.quadnet_landmark_decoder_apply(params, state, feats,
+                                                    train)
+
+    return Model(name="landmark_decoder", config=None, init=init,
+                 apply=apply)
 
 
 @register("decoder")
