@@ -131,10 +131,30 @@ def main(argv=None):
         ts = trainer.restore(ts)
 
     if args.test_mode:
-        ev = evaluate(model, ts.params, ts.model_state, val_loader, mesh,
-                      compute_acer=args.dataset == "oulu")
-        print({k: round(v, 4) if isinstance(v, float) else v
-               for k, v in ev.items()})
+        # hq AND lq eval like the reference's per-quality loop
+        # (train_CNN.py:843-984, visualize_feat_map.py:203-207)
+        qualities = [args.quality]
+        if args.dataset == "ff++" and args.data_root:
+            qualities = ["hq", "lq"]
+        for q in qualities:
+            if q != args.quality:
+                from istvt_tpu.data import Transform, VideoSeqDataset
+                ds = VideoSeqDataset(
+                    root=args.data_root, quality=q,
+                    transform=make_datasets(args)[1].transform,
+                    size=args.input_size, mode="Test",
+                    seq_len=args.seq_len, return_fake_type=True)
+                if len(ds.entries) == 0:
+                    continue
+                loader = ClipLoader(ds, batch_size=args.batch_size,
+                                    shuffle=False,
+                                    num_workers=args.num_workers)
+            else:
+                loader = val_loader
+            ev = evaluate(model, ts.params, ts.model_state, loader, mesh,
+                          compute_acer=args.dataset == "oulu")
+            print(q, {k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in ev.items()})
         return
 
     trainer.fit(train_loader, val_loader, ts=ts)
