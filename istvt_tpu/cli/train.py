@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the reference's manual lr rule "
                         "(train_CNN.py:209-211) instead of cosine")
     p.add_argument("--dataset_len", type=int, default=None)
+    p.add_argument("--use_native_decode", action="store_true",
+                   help="C++ clip decoder fast path (pixels differ "
+                        "slightly from PIL on downscale — opt-in)")
     return p
 
 
@@ -75,14 +78,16 @@ def make_datasets(args):
         val = Celeb(root=args.data_root, mode="Test", size=args.input_size,
                     seq_len=args.seq_len, transform=tf["val"])
         return train, val
+    use_native = getattr(args, "use_native_decode", False)
     train = VideoSeqDataset(root=args.data_root, quality=args.quality,
                             transform=tf["train"], size=args.input_size,
                             mode="Train", seq_len=args.seq_len,
-                            dataset_len=args.dataset_len, seed=args.seed)
+                            dataset_len=args.dataset_len, seed=args.seed,
+                            use_native=use_native)
     val = VideoSeqDataset(root=args.data_root, quality=args.quality,
                           transform=tf["val"], size=args.input_size,
                           mode="Test", seq_len=args.seq_len,
-                          return_fake_type=True)
+                          return_fake_type=True, use_native=use_native)
     return train, val
 
 

@@ -86,7 +86,10 @@ class TrainConfig:
     warmup_epochs: int = 20
     checkpoint_dir: str = "./output"
     log_every: int = 1000           # reference prints every 1000 iters
-    sync_bn: bool = True            # global-batch BN stats under the mesh
-    debug_nans: bool = False
+    # NOTE: BN stats are ALWAYS global-batch under the mesh — a jnp.mean
+    # over the batch axis of a 'data'-sharded array is the global mean by
+    # SPMD semantics (XLA inserts the all-reduce), so there is no
+    # per-replica-BN mode to toggle and no sync_bn flag.
+    debug_nans: bool = False        # enable jax_debug_nans in Trainer
     compute_dtype: str = "float32"  # 'bfloat16': bf16 forward/backward
                                     # against f32 master params

@@ -72,7 +72,8 @@ class VideoSeqDataset(ClipDataset):
                  return_fake_type: bool = False,
                  seq_len: int = 6,
                  entries: Optional[List[mf.VideoEntry]] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 use_native: bool = False):
         self.root = root
         self.quality = quality
         self.transform = transform or Transform(size)
@@ -86,6 +87,7 @@ class VideoSeqDataset(ClipDataset):
         self.compress_param = compress_param
         self.diverse_quality = diverse_quality
         self.seed = seed
+        self.use_native = use_native
         methods = None
         if subset and subset in mf.FFPP_METHODS:
             methods = ["original", subset]
@@ -116,7 +118,14 @@ class VideoSeqDataset(ClipDataset):
     def _native_fast_path(self, paths, params) -> Optional[np.ndarray]:
         """Decode the whole clip in C++ (libjpeg/libpng + resize +
         normalize, istvt_tpu/native) when no Python-side augmentation is
-        active and the normalization is the plain Xception mean/std."""
+        active and the normalization is the plain Xception mean/std.
+
+        Explicit opt-in (use_native=True): the native bilinear downscale
+        is a 2-tap filter while PIL's Image.BILINEAR antialiases, so the
+        two paths produce slightly different pixels — the default keeps
+        train/eval numerics environment-independent."""
+        if not self.use_native:
+            return None
         t = self.transform
         if params or t.shuffle_grid or t.compress_range or t.augment:
             return None

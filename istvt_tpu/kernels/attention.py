@@ -177,10 +177,12 @@ def fused_temporal_attention(q, k, v, heads: int, interpret: bool = False):
     scale = dh ** -0.5
     fold = lambda u: u.reshape(b, t1, n, dh)
     q, k, v = fold(q), fold(k), fold(v)
-    # location tile: halve until the double-buffered working set fits
+    # location tile: halve until the double-buffered working set fits.
+    # n_tile % 16 keeps the halved tile a multiple of 8 (Mosaic sublane
+    # rule) — e.g. S=362, H=8 f32 stops at 1448, never the illegal 724.
     n_tile = n
     itemsize = q.dtype.itemsize
-    while n_tile % 2 == 0 and \
+    while n_tile % 16 == 0 and \
             4 * 2 * t1 * n_tile * dh * itemsize > 12 * 1024 * 1024:
         n_tile //= 2
     spec = pl.BlockSpec((1, t1, n_tile, dh),
@@ -280,7 +282,7 @@ def fused_temporal_attention_bwd(q, k, v, do, heads: int,
     qf, kf, vf, dof = fold(q), fold(k), fold(v), fold(do)
     n_tile = n
     itemsize = q.dtype.itemsize
-    while n_tile % 2 == 0 and \
+    while n_tile % 16 == 0 and \
             11 * t1 * n_tile * dh * itemsize > 24 * 1024 * 1024:
         n_tile //= 2
     spec = pl.BlockSpec((1, t1, n_tile, dh), lambda i, j: (i, 0, j, 0),

@@ -74,11 +74,13 @@ def _fused_ff_impl(x, w1, b1, w2, b2, interpret: bool = False):
 
 def _ff_reference(x, w1, b1, w2, b2):
     """Same math in XLA (weights cast inside, like nn.layers.linear) —
-    the VJP recompute path."""
+    the VJP recompute path. Uses the SAME tanh-approx GELU as the Pallas
+    forward so fwd/bwd are consistent (the exact-erf convention lives on
+    the non-Pallas path in nn/layers.py)."""
     h = jnp.dot(x, w1.astype(x.dtype),
                 preferred_element_type=jnp.float32) \
         + b1.astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
     o = jnp.dot(h, w2.astype(x.dtype),
                 preferred_element_type=jnp.float32) \
         + b2.astype(jnp.float32)

@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # jax < 0.8
+    from jax.experimental.shard_map import shard_map
 
 from istvt_tpu.core.mesh import DATA_AXIS
 from istvt_tpu.train import losses, metrics
@@ -62,6 +65,6 @@ def make_shard_map_train_step(model, optimizer, mesh: Mesh,
         per_device_step, mesh=mesh,
         in_specs=(replicated, batch_spec, replicated),
         out_specs=(replicated, replicated),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

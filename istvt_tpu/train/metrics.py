@@ -65,9 +65,7 @@ def auc(scores, labels, mask=None):
     s = scores.reshape(-1).astype(jnp.float32)
     y = labels.reshape(-1).astype(jnp.float32)
     if mask is not None:
-        m = mask.reshape(-1).astype(bool)
-        # push masked-out entries to -inf with label 0 weight 0
-        w = m.astype(jnp.float32)
+        w = mask.reshape(-1).astype(jnp.float32)
     else:
         w = jnp.ones_like(s)
     order = jnp.argsort(s)
@@ -75,13 +73,14 @@ def auc(scores, labels, mask=None):
     w_sorted = w[order]
     y_sorted = y[order]
     n = s.shape[0]
-    idx = jnp.arange(n, dtype=jnp.float32)
     # average rank for ties: segment by unique score values
     is_new = jnp.concatenate(
         [jnp.array([True]), s_sorted[1:] != s_sorted[:-1]])
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    # per-segment sum of (1-based) ranks and counts -> average rank
-    ranks1 = idx + 1.0
+    # weighted (1-based) ranks: masked-out entries carry weight 0, so they
+    # neither advance the rank counter nor contribute to segment averages —
+    # the result equals the AUC of the masked subset exactly
+    ranks1 = jnp.cumsum(w_sorted)
     seg_sum = jax.ops.segment_sum(ranks1 * w_sorted, seg, num_segments=n)
     seg_cnt = jax.ops.segment_sum(w_sorted, seg, num_segments=n)
     avg_rank = seg_sum / jnp.maximum(seg_cnt, 1.0)

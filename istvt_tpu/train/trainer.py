@@ -72,15 +72,22 @@ def evaluate(model, params, model_state, loader, mesh=None,
     (reference train_CNN.py:837-984; AUC added per BASELINE.md)."""
     eval_fn = S.make_eval_step(model)
     logits, labels, ftypes = [], [], []
-    feed = device_feed(loader, mesh) if mesh is not None else iter(loader)
+    # Pad partial final batches to the full batch size so every batch is
+    # shardable over the 'data' axis (and compiles to one shape); padded
+    # rows are dropped host-side via the 'valid' mask before metrics.
+    feed = device_feed(loader, mesh, pad_to_batch=loader.batch_size) \
+        if mesh is not None else iter(loader)
     for batch in feed:
         out = eval_fn(params, model_state,
                       {k: batch[k] for k in ("clips", "images", "labels")
                        if k in batch})
-        logits.append(np.asarray(out["logits"]))
-        labels.append(np.asarray(out["labels"]))
+        valid = np.asarray(batch["valid"]).reshape(-1).astype(bool) \
+            if "valid" in batch else np.ones(
+                np.asarray(out["labels"]).size, bool)
+        logits.append(np.asarray(out["logits"])[valid])
+        labels.append(np.asarray(out["labels"])[valid])
         if "fake_types" in batch:
-            ftypes.append(np.asarray(batch["fake_types"]).reshape(-1))
+            ftypes.append(np.asarray(batch["fake_types"]).reshape(-1)[valid])
     logits = np.concatenate(logits)
     labels = np.concatenate(labels)
     preds = (logits > 0).astype(np.int32)
@@ -116,6 +123,11 @@ class Trainer:
         self.dc = dc
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self.log = log_fn
+        if tc.debug_nans:
+            # jax-native NaN trap (SURVEY.md §5.2): every jitted program
+            # re-runs un-jitted on NaN and raises at the producing op
+            jax.config.update("jax_debug_nans", True)
+            self.log("debug_nans: jax_debug_nans enabled")
         spe = steps_per_epoch or 1000
         if use_reference_schedule:
             sched = reference_epoch_schedule(tc.base_lr, tc.warmup_epochs, spe)
@@ -161,6 +173,14 @@ class Trainer:
             eval_every_epoch: bool = True) -> S.TrainState:
         ts = ts if ts is not None else self.restore(self.init_state())
         rng = jax.random.PRNGKey(self.tc.seed + 1)
+
+        # A partial final batch is not shardable over a >1 'data' axis
+        # (and padding would contaminate gradients), so drop it.
+        if dict(self.mesh.shape).get("data", 1) > 1 and \
+                not train_loader.drop_last:
+            self.log("mesh data axis > 1: enabling drop_last on the "
+                     "train loader (partial batches are not shardable)")
+            train_loader.drop_last = True
 
         # preemption safety (SURVEY.md §5.3: the reference is restartable
         # only by hand) — SIGTERM/SIGINT snapshots the full train state

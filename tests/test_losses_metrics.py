@@ -107,6 +107,27 @@ def test_auc_matches_naive_pairwise():
     assert abs(ours - naive) < 1e-5
 
 
+def test_auc_masked_matches_subset():
+    # ADVICE r1: masked AUC must equal the AUC of the valid subset
+    scores = jnp.asarray([0.1, 0.5, 0.9])
+    labels = jnp.asarray([0, 0, 1])
+    mask = jnp.asarray([0, 1, 1])
+    ours = float(metrics.auc(scores, labels, mask=mask))
+    assert abs(ours - 1.0) < 1e-6
+
+    rng = np.random.RandomState(7)
+    scores = rng.randn(64).astype(np.float32)
+    scores[5] = scores[40] = scores[12]          # ties across the mask edge
+    labels = (rng.rand(64) > 0.5).astype(np.int32)
+    mask = (rng.rand(64) > 0.3).astype(np.int32)
+    sub = mask.astype(bool)
+    expect = float(metrics.auc(jnp.asarray(scores[sub]),
+                               jnp.asarray(labels[sub])))
+    got = float(metrics.auc(jnp.asarray(scores), jnp.asarray(labels),
+                            mask=jnp.asarray(mask)))
+    assert abs(got - expect) < 1e-5
+
+
 def test_acer_metrics():
     # 2 attacks (1 accepted as live), 2 live (1 rejected)
     logits = jnp.asarray([2.0, -1.0, -0.5, 3.0])   # preds: 1,0,0,1

@@ -73,7 +73,8 @@ def test_dataset_native_path_matches_pil(tmp_path, lib_ok):
         _write(str(d / f"{f:03d}.png"),
                rng.randint(0, 255, (32, 32, 3), dtype=np.uint8), "PNG")
     ds = VideoSeqDataset(root=str(tmp_path), quality="hq", size=32,
-                         seq_len=4, mode="Test", transform=Transform(32))
+                         seq_len=4, mode="Test", transform=Transform(32),
+                         use_native=True)
     item = ds[0]
     # no resize (32 -> 32): native path must equal the PIL path exactly
     frames = []

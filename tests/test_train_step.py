@@ -131,6 +131,31 @@ def test_reference_epoch_schedule():
     assert abs(float(sched(jnp.asarray(250))) - 25 ** -1.5) < 1e-9
 
 
+def test_evaluate_pads_partial_batches_on_mesh():
+    """A final partial batch (10 items, bs=8) must not crash sharded eval
+    and padded rows must not contaminate metrics (ADVICE r1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from istvt_tpu.data import SyntheticVideoDataset
+    from istvt_tpu.data.loader import ClipLoader
+    from istvt_tpu.train.trainer import evaluate
+
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    ds = SyntheticVideoDataset(10, TINY.num_frames, TINY.image_size, seed=0)
+    mesh = make_mesh(data=8, model=1)
+    loader = ClipLoader(ds, batch_size=8, shuffle=False, num_workers=2)
+    ev = evaluate(model, params, mstate, loader, mesh)
+    assert ev["n"] == 10
+    assert 0.0 <= ev["accuracy"] <= 1.0 and 0.0 <= ev["auc"] <= 1.0
+
+    # unsharded single-stream pass over the same data must agree exactly
+    loader1 = ClipLoader(ds, batch_size=10, shuffle=False, num_workers=2)
+    ev1 = evaluate(model, params, mstate, loader1, mesh=None)
+    assert abs(ev["accuracy"] - ev1["accuracy"]) < 1e-6
+    assert abs(ev["auc"] - ev1["auc"]) < 1e-5
+
+
 def test_eval_step_outputs():
     model = model_selection("istvt", num_out_classes=1, cfg=TINY)
     params, mstate = model.init(jax.random.PRNGKey(0))
