@@ -48,6 +48,18 @@ def main():
         logits, _ = istvt.apply(params, state, clips, cfg, train=False)
         return jnp.sum(logits)
 
+    @jax.jit
+    def fwd_n(params, state, clips, n):
+        """n chained forwards in ONE device program: every iteration sees
+        a DIFFERENT input (i-dependent perturbation) and the returned
+        scalar data-depends on every iteration's logits, so nothing can
+        be replay-cached or skipped; the tunnel round trip is paid once."""
+        def body(i, acc):
+            x = clips + 0.01 * (i + 1).astype(clips.dtype)
+            logits, _ = istvt.apply(params, state, x, cfg, train=False)
+            return acc + jnp.sum(logits.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
     clips = jax.random.normal(
         jax.random.PRNGKey(1),
         (batch, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
@@ -56,17 +68,20 @@ def main():
     # NOTES on honest measurement under remote-tunnel backends:
     # (a) every timed call uses a DIFFERENT input -- byte-identical requests
     # can be replay-cached; (b) block_until_ready may return before remote
-    # execution finishes, so each result is FETCHED to host (float()) to
-    # force synchronization.
-    float(fwd(params, state, clips))  # compile + warmup
-    times = []
-    for i in range(iters):
-        x = clips + 0.01 * (i + 1)
-        t0 = time.perf_counter()
-        float(fwd(params, state, x))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]  # median single-call time
+    # execution finishes, so the timed region ends by FETCHING a scalar
+    # that data-depends on EVERY iteration's output (the running sum) --
+    # nothing can be skipped; (c) iterations are chained WITHOUT
+    # intermediate fetches so the ~tens-of-ms tunnel round trip is paid
+    # once, not per iteration (it is host overhead, not device time).
+    # run-specific salt so the timed request is never byte-identical to a
+    # previous bench invocation (the tunnel replay-caches identical
+    # requests)
+    salt = jnp.asarray((time.time() % 997) / 1e4, dtype)
+    clips = clips + salt
+    float(fwd_n(params, state, clips, 1))  # compile + warmup
+    t0 = time.perf_counter()
+    float(fwd_n(params, state, clips, iters))
+    dt = (time.perf_counter() - t0) / iters
 
     clips_per_sec = batch / dt
     p50_latency_ms = dt * 1000.0 / batch

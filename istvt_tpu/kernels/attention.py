@@ -118,6 +118,243 @@ def fused_frame_attention_mh(q, k, v, heads: int, interpret: bool = False):
     )(q, k, v)
 
 
+def _attn_kernel_mh_packed(qkv_ref, o_ref, *, scale: float, heads: int,
+                           inner: int, n_valid: int):
+    """Packed variant: one ref (1, S, 3I) holding [q | k | v] columns.
+    Head and q/k/v selection are static VMEM column slices — the caller
+    passes the projection GEMM output UNTOUCHED, so no (8, dh) lane
+    retiling copies ever hit HBM (round-2 profile: the reshape/slice glue
+    between kernels cost more than the kernels themselves).
+
+    n_valid < S masks key columns >= n_valid to -inf so the token axis can
+    be padded to a sublane multiple (pad-token QUERIES produce isolated
+    garbage rows; pad KEYS must not receive attention mass)."""
+    x = qkv_ref[0]                              # (S, 3I)
+    dh = inner // heads
+    s_len = x.shape[0]
+    mask = None
+    if n_valid < s_len:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
+        mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
+    for h in range(heads):
+        q = x[:, h * dh:(h + 1) * dh]
+        k = x[:, inner + h * dh:inner + (h + 1) * dh]
+        v = x[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (S, S) f32
+        if mask is not None:
+            sc = sc + mask
+        pr = jax.nn.softmax(sc, axis=-1)
+        o = jnp.dot(pr.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "n_valid", "interpret"))
+def fused_frame_attention_packed(qkv, heads: int, n_valid: int = -1,
+                                 interpret: bool = False):
+    """qkv: (G, S, 3I) packed projections -> (G, S, I) attention output."""
+    g, s, i3 = qkv.shape
+    inner = i3 // 3
+    dh = inner // heads
+    scale = dh ** -0.5
+    if n_valid < 0:
+        n_valid = s
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_mh_packed, scale=scale, heads=heads,
+                          inner=inner, n_valid=n_valid),
+        out_shape=jax.ShapeDtypeStruct((g, s, inner), qkv.dtype),
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, s, i3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, s, inner), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * g * heads * s * s * dh,
+            bytes_accessed=g * s * (i3 + inner) * qkv.dtype.itemsize,
+            transcendentals=g * heads * s * s,
+        ),
+    )(qkv)
+
+
+def _spatial_packed_reference(qkv, heads: int, n_valid: int = -1):
+    g, s, i3 = qkv.shape
+    inner = i3 // 3
+    dh = inner // heads
+    q = qkv[..., :inner].reshape(g, s, heads, dh)
+    k = qkv[..., inner:2 * inner].reshape(g, s, heads, dh)
+    v = qkv[..., 2 * inner:].reshape(g, s, heads, dh)
+    dots = jnp.einsum("gihd,gjhd->ghij", q, k,
+                      preferred_element_type=jnp.float32) * dh ** -0.5
+    if 0 <= n_valid < s:
+        mask = jnp.where(jnp.arange(s) < n_valid, 0.0, -1e30)
+        dots = dots + mask[None, None, None, :]
+    attn = jax.nn.softmax(dots, axis=-1)
+    out = jnp.einsum("ghij,gjhd->gihd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(g, s, inner)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def spatial_attention_packed(qkv, heads: int, n_valid: int = -1):
+    """Packed-qkv spatial attention: (G, S, 3I) -> (G, S, I).
+    Differentiable; backward slices the packed columns (lane-aligned,
+    cheap) and runs the flash-style Pallas backward kernel."""
+    interpret = jax.default_backend() != "tpu"
+    return fused_frame_attention_packed(qkv, heads=heads, n_valid=n_valid,
+                                        interpret=interpret)
+
+
+def _spatial_packed_fwd(qkv, heads, n_valid):
+    return spatial_attention_packed(qkv, heads, n_valid), qkv
+
+
+def _spatial_packed_bwd(heads, n_valid, qkv, g):
+    inner = qkv.shape[-1] // 3
+    if jax.default_backend() == "tpu":
+        q = qkv[..., :inner]
+        k = qkv[..., inner:2 * inner]
+        v = qkv[..., 2 * inner:]
+        dq, dk, dv = fused_frame_attention_bwd(q, k, v, g, heads=heads,
+                                               n_valid=n_valid)
+        return (jnp.concatenate([dq, dk, dv], axis=-1),)
+    _, vjp = jax.vjp(
+        lambda u: _spatial_packed_reference(u, heads, n_valid), qkv)
+    return vjp(g)
+
+
+spatial_attention_packed.defvjp(_spatial_packed_fwd, _spatial_packed_bwd)
+
+
+def _temporal_packed_kernel(qkv_ref, o_ref, qs_ref, ks_ref, *,
+                            scale: float, heads: int, inner: int):
+    """Packed self-subtract temporal attention, ref (1, T1, S, 3I).
+
+    Per-(s, h) attention over t without any head reshape: logits are
+    computed as segmented lane reductions via a block-indicator matmul
+    M (I, H) [m[c,h] = c//dh == h], and probabilities broadcast back over
+    each head's dh lanes via its transpose E (H, I). All intermediates
+    stay (S, I)- or (S, H)-shaped 2-D arrays — no (8, dh) lane splits.
+    """
+    t1 = qkv_ref.shape[1]
+    dh = inner // heads
+    q = qkv_ref[0, :, :, :inner]                # (T1, S, I)
+    k = qkv_ref[0, :, :, inner:2 * inner]
+    qs_ref[:] = jnp.concatenate([q[:2], q[2:] - q[1:-1]], axis=0)
+    ks_ref[:] = jnp.concatenate([k[:2], k[2:] - k[1:-1]], axis=0)
+    m_seg = (jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 0) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 1)
+             ).astype(jnp.float32)              # (I, H)
+    e_exp = (jax.lax.broadcasted_iota(jnp.int32, (heads, inner), 1) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (heads, inner), 0)
+             ).astype(jnp.float32)              # (H, I)
+
+    def body(i, _):
+        qi = qs_ref[i].astype(jnp.float32)      # (S, I)
+        ls = []
+        for j in range(t1):
+            pj = qi * ks_ref[j].astype(jnp.float32)
+            ls.append(jax.lax.dot_general(
+                pj, m_seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)   # (S, H)
+        m = ls[0]
+        for j in range(1, t1):
+            m = jnp.maximum(m, ls[j])
+        es = [jnp.exp(l - m) for l in ls]
+        den = es[0]
+        for j in range(1, t1):
+            den = den + es[j]
+        acc = None
+        for j in range(t1):
+            w = jax.lax.dot_general(
+                es[j], e_exp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (S, I)
+            vj = qkv_ref[0, j, :, 2 * inner:].astype(jnp.float32)
+            term = w * vj
+            acc = term if acc is None else acc + term
+        dnb = jax.lax.dot_general(
+            den, e_exp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, i] = (acc / dnb).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_temporal_attention_packed(qkv, heads: int,
+                                    interpret: bool = False):
+    """qkv: (B, T1, S, 3I) packed [q|k|v] projections (PRE-subtract) ->
+    (B, T1, S, I) attention output. Grid (B,), whole-clip blocks."""
+    b, t1, s, i3 = qkv.shape
+    inner = i3 // 3
+    dh = inner // heads
+    scale = dh ** -0.5
+    out = pl.pallas_call(
+        functools.partial(_temporal_packed_kernel, scale=scale,
+                          heads=heads, inner=inner),
+        out_shape=jax.ShapeDtypeStruct((b, t1, s, inner), qkv.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, t1, s, i3), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, t1, s, inner), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((t1, s, inner), qkv.dtype),
+            pltpu.VMEM((t1, s, inner), qkv.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t1 * t1 * s * heads * dh,
+            bytes_accessed=b * t1 * s * (i3 + inner) * qkv.dtype.itemsize,
+            transcendentals=b * t1 * t1 * s * heads,
+        ),
+    )(qkv)
+    return out
+
+
+def _temporal_packed_reference(qkv, heads: int):
+    inner = qkv.shape[-1] // 3
+    return _temporal_reference(qkv[..., :inner],
+                               qkv[..., inner:2 * inner],
+                               qkv[..., 2 * inner:], heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def temporal_attention_packed(qkv, heads: int):
+    """Packed-qkv self-subtract temporal attention:
+    (B, T1, S, 3I) -> (B, T1, S, I). Differentiable."""
+    interpret = jax.default_backend() != "tpu"
+    return fused_temporal_attention_packed(qkv, heads=heads,
+                                           interpret=interpret)
+
+
+def _temporal_packed_fwd(qkv, heads):
+    return temporal_attention_packed(qkv, heads), qkv
+
+
+def _temporal_packed_bwd(heads, qkv, g):
+    inner = qkv.shape[-1] // 3
+    if jax.default_backend() == "tpu":
+        q = qkv[..., :inner]
+        k = qkv[..., inner:2 * inner]
+        v = qkv[..., 2 * inner:]
+        dq, dk, dv = fused_temporal_attention_bwd(q, k, v, g, heads=heads)
+        return (jnp.concatenate([dq, dk, dv], axis=-1),)
+    _, vjp = jax.vjp(lambda u: _temporal_packed_reference(u, heads), qkv)
+    return vjp(g)
+
+
+temporal_attention_packed.defvjp(_temporal_packed_fwd, _temporal_packed_bwd)
+
+
 def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, qs_ref, ks_ref, *,
                      scale: float):
     """Fused self-subtract temporal attention, refs (1, T1, N, dh) where
@@ -355,7 +592,7 @@ temporal_attention_pallas.defvjp(_temporal_fwd, _temporal_bwd)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale: float, heads: int):
+                     *, scale: float, heads: int, n_valid: int = -1):
     """Flash-style attention backward for one (batch·frame) block:
     refs (1, S, H*dh). Probs are recomputed per head in VMEM (nothing
     spilled from the forward); standard softmax backward:
@@ -368,12 +605,18 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     do = do_ref[0]
     s_len, hd = q.shape
     dh = hd // heads
+    mask = None
+    if 0 <= n_valid < s_len:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
+        mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
         dots = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # (S, S)
+        if mask is not None:
+            dots = dots + mask
         m = jnp.max(dots, axis=1, keepdims=True)
         e = jnp.exp(dots - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -395,8 +638,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
-def fused_frame_attention_bwd(q, k, v, do, heads: int,
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "n_valid", "interpret"))
+def fused_frame_attention_bwd(q, k, v, do, heads: int, n_valid: int = -1,
                               interpret: bool = False):
     """(G, S, H*dh) x4 -> (dq, dk, dv), same shapes."""
     g, s, hd = q.shape
@@ -406,7 +650,8 @@ def fused_frame_attention_bwd(q, k, v, do, heads: int,
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, heads=heads),
+        functools.partial(_attn_bwd_kernel, scale=scale, heads=heads,
+                          n_valid=n_valid),
         out_shape=(shape, shape, shape),
         grid=(g,),
         in_specs=[spec, spec, spec, spec],

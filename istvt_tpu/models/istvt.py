@@ -129,15 +129,49 @@ def dsttr_apply(
     cls_temporal = jnp.broadcast_to(
         p["temporal_token"].astype(x.dtype)[:, :, None, :], (b, 1, s, d))
     x = jnp.concatenate([cls_temporal, x], axis=1)            # (b, t+1, s, d)
-    x = x.reshape(b, (t + 1) * s, d)
 
     attns: Dict[str, List[jax.Array]] = {"t": [], "s": []}
     # Attention maps are only materialized when the caller needs them
     # (LRP rollout / attn_bias grads) — the hot path skips them.
     need_attn = return_attn or attn_bias is not None
 
+    # Fused-kernel path: pad the token axis to a sublane multiple (8) so
+    # every (B, N, ·) <-> (B, T+1, S, ·) reshape at a kernel boundary is
+    # tile-aligned and FREE (S=362 splits cost ~16 ms/batch in retiling
+    # copies otherwise). Pad tokens are masked out of spatial-attention
+    # keys (kernels/attention.py n_valid) and isolated everywhere else
+    # (LN/FF per-token, temporal attention per-location) — bit-exact
+    # w.r.t. the unpadded computation on the real tokens.
+    s_valid = s
+    if cfg.use_pallas and not need_attn and s % 8 != 0:
+        pad = (-s) % 8
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        s = s + pad
+    x = x.reshape(b, (t + 1) * s, d)
+
     def run_layer(x, layer, bias_t, bias_s, frng):
         # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
+        if cfg.use_pallas and not need_attn:
+            # fully fused hot path: LN+QKV GEMMs, attention, out-GEMMs
+            # and the residual adds all run as Pallas kernels; nothing
+            # but x enters/leaves HBM per branch
+            out_t = A.temporal_block_fused(layer["attn_t"], x,
+                                           cfg.heads, s)
+            x = A.spatial_block_fused(layer["attn_s"], out_t,
+                                      cfg.heads, s, residual=x,
+                                      n_valid=s_valid)
+            if not train or cfg.dropout == 0.0:
+                from istvt_tpu.kernels.mlp import ln_ff_residual
+                pf = layer["ff"]
+                x = ln_ff_residual(x, pf["norm"]["scale"],
+                                   pf["norm"]["bias"],
+                                   pf["fc1"]["w"], pf["fc1"]["b"],
+                                   pf["fc2"]["w"], pf["fc2"]["b"])
+                return x, None, None
+            f = _feed_forward(layer["ff"],
+                              layernorm(layer["ff"]["norm"], x), cfg,
+                              train, frng)
+            return f + x, None, None
         hn_t = layernorm(layer["attn_t"]["norm"], x)
         res_t = A.temporal_residual_attention(
             layer["attn_t"], hn_t, cfg.heads, s,

@@ -84,13 +84,14 @@ def spatial_only_attention(p, x, heads: int, tokens_per_frame: int,
     s = tokens_per_frame
     t1 = n // s
     qkv = linear(p["to_qkv"], x)
+    if use_pallas and not return_attn and attn_bias is None:
+        from istvt_tpu.kernels.attention import spatial_attention_packed
+        inner = qkv.shape[-1] // 3
+        out = spatial_attention_packed(
+            qkv.reshape(b * t1, s, 3 * inner), heads)
+        return linear(p["to_out"], out.reshape(b, n, inner))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (u.reshape(b, t1, s, heads, -1) for u in (q, k, v))
-    if use_pallas and not return_attn and attn_bias is None:
-        from istvt_tpu.kernels.attention import spatial_attention_pallas
-        out = spatial_attention_pallas(q, k, v)
-        out = out.reshape(b, n, heads * v.shape[-1])
-        return linear(p["to_out"], out)
     scale = q.shape[-1] ** -0.5
     dots = jnp.einsum("btihd,btjhd->bthij", q, k,
                       preferred_element_type=jnp.float32,
@@ -144,11 +145,9 @@ def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
     qkv = linear({"w": w}, x)
     inner = p["to_v"]["w"].shape[1]
     if use_pallas and not return_attn and attn_bias is None:
-        from istvt_tpu.kernels.attention import temporal_attention_pallas
-        q4 = qkv[..., :inner].reshape(b, t1, s, inner)
-        k4 = qkv[..., inner:2 * inner].reshape(b, t1, s, inner)
-        v4 = qkv[..., 2 * inner:].reshape(b, t1, s, inner)
-        out = temporal_attention_pallas(q4, k4, v4, heads)
+        from istvt_tpu.kernels.attention import temporal_attention_packed
+        out = temporal_attention_packed(
+            qkv.reshape(b, t1, s, 3 * inner), heads)
         return linear(p["to_out"], out.reshape(b, n, inner))
     qk, v = qkv[..., : 2 * inner], qkv[..., 2 * inner:]
     qk = self_subtract(qk.reshape(b, t1, s, 2 * inner)).reshape(b, n, -1)
@@ -172,6 +171,47 @@ def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
     if return_attn:
         return out, jnp.transpose(attn, (0, 2, 1, 3, 4))
     return out
+
+
+def temporal_block_fused(p, x, heads: int, tokens_per_frame: int):
+    """Whole PreNorm temporal branch in three Pallas kernels:
+    LN+QKV-GEMM -> fused self-subtract attention -> out-GEMM+bias.
+    Equals temporal_residual_attention(p, layernorm(p['norm'], x), ...)
+    with the normalized tensor and head transposes never touching HBM."""
+    from istvt_tpu.kernels.attention import temporal_attention_packed
+    from istvt_tpu.kernels.linear import ln_matmul, matmul_bias_residual
+
+    b, n, d = x.shape
+    s = tokens_per_frame
+    t1 = n // s
+    w = jnp.concatenate([p["to_qk"]["w"], p["to_v"]["w"]], axis=1)
+    qkv = ln_matmul(x, p["norm"]["scale"], p["norm"]["bias"], w)
+    inner = p["to_v"]["w"].shape[1]
+    out = temporal_attention_packed(qkv.reshape(b, t1, s, 3 * inner), heads)
+    return matmul_bias_residual(out.reshape(b, n, inner),
+                                p["to_out"]["w"], p["to_out"]["b"], None)
+
+
+def spatial_block_fused(p, x, heads: int, tokens_per_frame: int, residual,
+                        n_valid: int = -1):
+    """Whole PreNorm spatial branch in three Pallas kernels, with the
+    layer residual (reference vivit.py:99 `attn_s(attn_t(x)) + x`) fused
+    into the out-GEMM epilogue. n_valid masks padded key tokens when the
+    token axis is padded to a sublane multiple."""
+    from istvt_tpu.kernels.attention import spatial_attention_packed
+    from istvt_tpu.kernels.linear import ln_matmul, matmul_bias_residual
+
+    b, n, d = x.shape
+    s = tokens_per_frame
+    t1 = n // s
+    qkv = ln_matmul(x, p["norm"]["scale"], p["norm"]["bias"],
+                    p["to_qkv"]["w"])
+    inner = qkv.shape[-1] // 3
+    out = spatial_attention_packed(qkv.reshape(b * t1, s, 3 * inner),
+                                   heads, n_valid)
+    return matmul_bias_residual(out.reshape(b, n, inner),
+                                p["to_out"]["w"], p["to_out"]["b"],
+                                residual)
 
 
 def unfold2d(x, kernel: int, stride: int, padding: int):

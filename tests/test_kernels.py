@@ -191,3 +191,109 @@ def test_temporal_fused_projection_equivalence():
         ref = linear(p["to_out"], ref)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ln_matmul_matches_reference():
+    from istvt_tpu.kernels.linear import _ln_matmul_reference, ln_matmul
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 70, 24).astype(np.float32))
+    s = jnp.asarray(1.0 + 0.1 * rng.randn(24).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(24).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(24, 48).astype(np.float32))
+    with precision.highest():
+        ref = _ln_matmul_reference(x.reshape(-1, 24), s, b, w).reshape(
+            2, 70, 48)
+        out = ln_matmul(x, s, b, w)
+        g = jax.grad(lambda xx: jnp.sum(ln_matmul(xx, s, b, w) ** 2))(x)
+        g_ref = jax.grad(lambda xx: jnp.sum(_ln_matmul_reference(
+            xx.reshape(-1, 24), s, b, w) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_matmul_bias_residual_matches_reference():
+    from istvt_tpu.kernels.linear import (_matmul_bias_reference,
+                                          matmul_bias_residual)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 70, 16).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(16, 24).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(24).astype(np.float32))
+    r = jnp.asarray(rng.randn(2, 70, 24).astype(np.float32))
+    with precision.highest():
+        ref = _matmul_bias_reference(x.reshape(-1, 16), w, b,
+                                     r.reshape(-1, 24)).reshape(2, 70, 24)
+        out = matmul_bias_residual(x, w, b, r)
+        out_nores = matmul_bias_residual(x, w, b, None)
+        ref_nores = _matmul_bias_reference(x.reshape(-1, 16), w, b,
+                                           None).reshape(2, 70, 24)
+        gx, gr = jax.grad(lambda xx, rr: jnp.sum(
+            matmul_bias_residual(xx, w, b, rr) ** 2), argnums=(0, 1))(x, r)
+        gx_ref, gr_ref = jax.grad(lambda xx, rr: jnp.sum(
+            _matmul_bias_reference(xx.reshape(-1, 16), w, b,
+                                   rr.reshape(-1, 24)) ** 2),
+            argnums=(0, 1))(x, r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_nores), np.asarray(ref_nores),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ln_ff_residual_matches_reference():
+    from istvt_tpu.kernels.mlp import _ln_ff_res_reference, ln_ff_residual
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(2, 70, 32).astype(np.float32))
+    s = jnp.asarray(1.0 + 0.1 * rng.randn(32).astype(np.float32))
+    bn = jnp.asarray(0.1 * rng.randn(32).astype(np.float32))
+    w1 = jnp.asarray(0.1 * rng.randn(32, 128).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.randn(128).astype(np.float32))
+    w2 = jnp.asarray(0.1 * rng.randn(128, 32).astype(np.float32))
+    b2 = jnp.asarray(0.1 * rng.randn(32).astype(np.float32))
+    with precision.highest():
+        ref = _ln_ff_res_reference(x.reshape(-1, 32), s, bn, w1, b1,
+                                   w2, b2).reshape(x.shape)
+        out = ln_ff_residual(x, s, bn, w1, b1, w2, b2)
+        g = jax.grad(lambda xx: jnp.sum(
+            ln_ff_residual(xx, s, bn, w1, b1, w2, b2) ** 2))(x)
+        g_ref = jax.grad(lambda xx: jnp.sum(_ln_ff_res_reference(
+            xx.reshape(-1, 32), s, bn, w1, b1, w2, b2) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_layer_path_matches_unfused_istvt():
+    """The fully fused ST layer (use_pallas=True interpret) must match the
+    plain XLA path end-to-end on a tiny ISTVT, fwd and grads."""
+    from istvt_tpu.core.config import ISTVTConfig
+    from istvt_tpu.models import istvt
+
+    cfg_x = ISTVTConfig(num_frames=3, image_size=72, feat_hw=5, depth=2,
+                        dropout=0.0, use_pallas=False)
+    cfg_p = ISTVTConfig(num_frames=3, image_size=72, feat_hw=5, depth=2,
+                        dropout=0.0, use_pallas=True)
+    params, state = istvt.init(jax.random.PRNGKey(0), cfg_x)
+    clips = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 72, 72, 3))
+    with precision.highest():
+        ref, _ = istvt.apply(params, state, clips, cfg_x, train=False)
+        out, _ = istvt.apply(params, state, clips, cfg_p, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=5e-4)
+
+        def loss(p, cfg):
+            lg, _ = istvt.apply(p, state, clips, cfg, train=False)
+            return jnp.sum(lg ** 2)
+
+        g_ref = jax.grad(loss)(params, cfg_x)
+        g_out = jax.grad(loss)(params, cfg_p)
+    leaves_r, _ = jax.tree_util.tree_flatten(g_ref)
+    leaves_o, _ = jax.tree_util.tree_flatten(g_out)
+    for lr, lo in zip(leaves_r, leaves_o):
+        np.testing.assert_allclose(np.asarray(lo), np.asarray(lr),
+                                   atol=5e-3, rtol=5e-3)
