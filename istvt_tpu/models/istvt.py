@@ -86,9 +86,12 @@ def dsttr_init(key, cfg: ISTVTConfig):
 
 def _feed_forward(p, x, cfg: ISTVTConfig, train: bool, rng):
     """GELU MLP dim -> 4*dim -> dim (reference module.py:23-34)."""
-    if cfg.use_pallas and (not train or cfg.dropout == 0.0):
+    from istvt_tpu.parallel import tp as _tp
+    if cfg.use_pallas and (not train or cfg.dropout == 0.0) \
+            and not _tp.active():
         # fused fc1+gelu+fc2 kernel (hidden tile never touches HBM);
-        # only valid when no dropout splits the two matmuls
+        # only valid when no dropout splits the two matmuls and fc1/fc2
+        # are unsharded (under TP the XLA path partitions the GEMMs)
         from istvt_tpu.kernels.mlp import fused_ff
         return fused_ff(x, p["fc1"]["w"], p["fc1"]["b"],
                         p["fc2"]["w"], p["fc2"]["b"])
@@ -142,8 +145,15 @@ def dsttr_apply(
     # keys (kernels/attention.py n_valid) and isolated everywhere else
     # (LN/FF per-token, temporal attention per-location) — bit-exact
     # w.r.t. the unpadded computation on the real tokens.
+    # Under tensor parallelism (parallel/tp.scope active at trace time)
+    # the fully-fused LN+GEMM blocks are skipped — their VMEM-resident
+    # weights are model-sharded, which only the attention cores support
+    # (shard_map over heads, parallel/tp.py); the projection GEMMs take
+    # the XLA einsum path, which the SPMD partitioner shards natively.
+    from istvt_tpu.parallel import tp as _tp
+    fused_blocks = cfg.use_pallas and not need_attn and not _tp.active()
     s_valid = s
-    if cfg.use_pallas and not need_attn and s % 8 != 0:
+    if fused_blocks and s % 8 != 0:
         pad = (-s) % 8
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         s = s + pad
@@ -151,7 +161,7 @@ def dsttr_apply(
 
     def run_layer(x, layer, bias_t, bias_s, frng):
         # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
-        if cfg.use_pallas and not need_attn:
+        if fused_blocks:
             # fully fused hot path: LN+QKV GEMMs, attention, out-GEMMs
             # and the residual adds all run as Pallas kernels; nothing
             # but x enters/leaves HBM per branch

@@ -85,9 +85,12 @@ def spatial_only_attention(p, x, heads: int, tokens_per_frame: int,
     t1 = n // s
     qkv = linear(p["to_qkv"], x)
     if use_pallas and not return_attn and attn_bias is None:
-        from istvt_tpu.kernels.attention import spatial_attention_packed
+        # TP-aware dispatch: under an active parallel/tp.scope the kernel
+        # runs shard_map'd with heads on the model axis (falls back to the
+        # plain kernel otherwise)
+        from istvt_tpu.parallel.tp import spatial_attention_sharded
         inner = qkv.shape[-1] // 3
-        out = spatial_attention_packed(
+        out = spatial_attention_sharded(
             qkv.reshape(b * t1, s, 3 * inner), heads)
         return linear(p["to_out"], out.reshape(b, n, inner))
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -145,8 +148,8 @@ def temporal_residual_attention(p, x, heads: int, tokens_per_frame: int,
     qkv = linear({"w": w}, x)
     inner = p["to_v"]["w"].shape[1]
     if use_pallas and not return_attn and attn_bias is None:
-        from istvt_tpu.kernels.attention import temporal_attention_packed
-        out = temporal_attention_packed(
+        from istvt_tpu.parallel.tp import temporal_attention_sharded
+        out = temporal_attention_sharded(
             qkv.reshape(b, t1, s, 3 * inner), heads)
         return linear(p["to_out"], out.reshape(b, n, inner))
     qk, v = qkv[..., : 2 * inner], qkv[..., 2 * inner:]

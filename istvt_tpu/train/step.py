@@ -51,6 +51,7 @@ def make_train_step(
     loss_fn: Callable = None,
     donate: bool = True,
     compute_dtype=None,
+    mesh=None,
 ):
     """Returns jitted step(ts, batch, rng) -> (ts, metrics_dict).
 
@@ -58,7 +59,13 @@ def make_train_step(
     compute_dtype=jnp.bfloat16 runs the forward/backward in bf16 against
     f32 master params (the cast is inside the differentiated function, so
     gradients come back f32); losses/metrics stay f32.
+
+    mesh: pass the (data, model) mesh when training tensor-parallel —
+    the step body traces inside a parallel/tp scope so the Pallas
+    attention kernels dispatch to their shard_map'd forms.
     """
+    from istvt_tpu.parallel import tp
+
     loss_fn = loss_fn or (lambda logits, batch:
                           losses.bce_with_logits(logits, batch["labels"]))
 
@@ -74,6 +81,10 @@ def make_train_step(
         return loss, (new_state, logits)
 
     def step(ts: TrainState, batch, rng):
+        with tp.scope(mesh):
+            return _step(ts, batch, rng)
+
+    def _step(ts: TrainState, batch, rng):
         (loss, (new_state, logits)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(ts.params, ts.model_state, batch, rng)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
@@ -89,13 +100,15 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model):
+def make_eval_step(model, mesh=None):
     """jitted eval(params, model_state, batch) -> per-batch sufficient stats
     (reference eval loop train_CNN.py:837-984, no_grad threshold-at-0)."""
+    from istvt_tpu.parallel import tp
 
     def step(params, model_state, batch):
-        x = batch.get("clips", batch.get("images"))
-        logits, _ = model.apply(params, model_state, x, train=False)
+        with tp.scope(mesh):
+            x = batch.get("clips", batch.get("images"))
+            logits, _ = model.apply(params, model_state, x, train=False)
         flat = logits.reshape(-1)
         labels = batch["labels"].reshape(-1)
         out = {

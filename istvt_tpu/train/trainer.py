@@ -70,7 +70,7 @@ def evaluate(model, params, model_state, loader, mesh=None,
              num_fake_types: int = 5) -> Dict[str, float]:
     """Eval pass: accuracy, AUC, optional ACER + per-manipulation accuracy
     (reference train_CNN.py:837-984; AUC added per BASELINE.md)."""
-    eval_fn = S.make_eval_step(model)
+    eval_fn = S.make_eval_step(model, mesh=mesh)
     logits, labels, ftypes = [], [], []
     # Pad partial final batches to the full batch size so every batch is
     # shardable over the 'data' axis (and compiles to one shape); padded
@@ -139,7 +139,8 @@ class Trainer:
             else None
         self.step_fn = S.make_train_step(self.model, self.optimizer,
                                          loss_fn=loss_fn,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         mesh=self.mesh)
         self.ckpt = CheckpointManager(tc.checkpoint_dir) \
             if tc.checkpoint_dir else None
         self.best_metric = -float("inf")

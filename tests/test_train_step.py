@@ -165,3 +165,73 @@ def test_eval_step_outputs():
     assert out["correct"].shape == (4,)
     total = sum(float(out[k]) for k in ("tp", "fp", "tn", "fn"))
     assert total == 4.0
+
+
+def test_tp_pallas_kernels_match_xla_path():
+    """VERDICT r1 #5: use_pallas=True must survive a model>1 mesh.
+
+    Runs the same forward on (a) a single device with use_pallas=False
+    and (b) a data=4 x model=2 mesh with use_pallas=True, where the
+    packed Pallas attention kernels dispatch through their shard_map'd
+    TP forms (parallel/tp.py). Logits must agree to float tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from istvt_tpu.parallel import tp
+
+    cfg_x = TINY
+    cfg_p = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=1,
+                        num_classes=1, use_pallas=True)
+    model_x = model_selection("istvt", num_out_classes=1, cfg=cfg_x)
+    model_p = model_selection("istvt", num_out_classes=1, cfg=cfg_p)
+    params, mstate = model_x.init(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    logits_x, _ = jax.jit(lambda p, s, x: model_x.apply(p, s, x))(
+        params, mstate, batch["clips"])
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shd.place(params, shd.param_shardings(params, mesh))
+    s_sh = shd.place(mstate, shd.replicated_shardings(mstate, mesh))
+    x_sh = shd.place(batch, shd.batch_shardings(batch, mesh))["clips"]
+
+    def fwd(p, s, x):
+        with tp.scope(mesh):
+            return model_p.apply(p, s, x)
+
+    logits_p, _ = jax.jit(fwd)(p_sh, s_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_x),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_pallas_train_step_matches_single_device():
+    """TP + Pallas TRAIN step (fwd+bwd through the shard_map'd kernels)
+    agrees with the unsharded non-pallas step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg_p = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=1,
+                        num_classes=1, use_pallas=True)
+    model_x = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    model_p = model_selection("istvt", num_out_classes=1, cfg=cfg_p)
+    tc = TrainConfig()
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-3, 100))
+    ts0 = train_step.create_train_state(model_x, jax.random.PRNGKey(0), opt)
+    batch = _batch()
+    rng = jax.random.PRNGKey(42)
+
+    step_x = train_step.make_train_step(model_x, opt, donate=False)
+    _, m_x = step_x(ts0, batch, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    ts_sh = train_step.TrainState(
+        params=shd.place(ts0.params, shd.param_shardings(ts0.params, mesh)),
+        model_state=shd.place(
+            ts0.model_state, shd.replicated_shardings(ts0.model_state, mesh)),
+        opt_state=jax.device_put(ts0.opt_state),
+        step=ts0.step,
+    )
+    sbatch = shd.place(batch, shd.batch_shardings(batch, mesh))
+    step_p = train_step.make_train_step(model_p, opt, donate=False,
+                                        mesh=mesh)
+    _, m_p = step_p(ts_sh, sbatch, rng)
+    assert abs(float(m_x["loss"]) - float(m_p["loss"])) < 1e-4
+    assert abs(float(m_x["accuracy"]) - float(m_p["accuracy"])) < 1e-6
