@@ -1,0 +1,88 @@
+"""Offline video preprocessing: raw .mp4 tree -> face-cropped frame tree.
+
+Reconstructs the paper's external preprocessing stage (SURVEY.md §2.7.1 —
+the reference's `dataset` package consumes frames that a detector-crop
+pipeline already extracted; call site reference train_CNN.py:172-173).
+Output follows the docs/DATA.md layout, so VideoSeqDataset/Celeb/OULU and
+the train CLI consume it unchanged:
+
+    python -m istvt_tpu.cli.preprocess --root /raw/ffpp --out /data/ffpp \
+        --quality hq --every-n 5 --size 300 --margin 1.3
+
+Videos are processed in parallel on a thread pool — the native decoder
+releases the GIL, so decode throughput scales with cores.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--root", required=True,
+                   help="raw video tree: root/[quality/]method/*.mp4")
+    p.add_argument("--out", required=True, help="output frame tree root")
+    p.add_argument("--quality", "-q", default=None,
+                   help="quality level subdir to scan (hq/lq); omit if flat")
+    p.add_argument("--every-n", type=int, default=1,
+                   help="keep every n-th frame")
+    p.add_argument("--size", type=int, default=300, help="output frame size")
+    p.add_argument("--margin", type=float, default=1.3,
+                   help="face-crop margin (box side multiplier)")
+    p.add_argument("--crop-mode", default="skin",
+                   choices=["skin", "center", "none"],
+                   help="face localization: skin-prior box, fixed center "
+                        "box, or no crop")
+    p.add_argument("--limit-frames", type=int, default=None,
+                   help="cap frames per video")
+    p.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    p.add_argument("--use-native", action="store_true", default=None,
+                   help="force the native libav decoder (default: auto)")
+    p.add_argument("--no-native", dest="use_native", action="store_false")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    from istvt_tpu.data.manifest import FFPP_METHODS
+    from istvt_tpu.data.video_frontend import extract_frames, scan_ffpp_videos
+
+    args = parse_args(argv)
+    entries = scan_ffpp_videos(args.root, args.quality)
+    if not entries:
+        print(f"no videos found under {args.root}", file=sys.stderr)
+        return 1
+    method_names = {v: k for k, v in FFPP_METHODS.items()}
+
+    def job(entry):
+        vid = os.path.splitext(os.path.basename(entry["path"]))[0]
+        method = method_names[entry["fake_type"]]
+        parts = [args.out]
+        if entry["quality"]:
+            parts.append(entry["quality"])
+        parts += [method, vid]
+        out_dir = os.path.join(*parts)
+        n = extract_frames(entry["path"], out_dir, every_n=args.every_n,
+                           size=args.size, margin=args.margin,
+                           crop_mode=args.crop_mode,
+                           limit=args.limit_frames,
+                           use_native=args.use_native)
+        return entry["path"], n
+
+    t0 = time.time()
+    total = 0
+    with ThreadPoolExecutor(max_workers=args.workers) as pool:
+        for path, n in pool.map(job, entries):
+            total += n
+            print(f"{path}: {n} frames")
+    dt = time.time() - t0
+    print(f"done: {len(entries)} videos, {total} frames in {dt:.1f}s "
+          f"({total / max(dt, 1e-9):.0f} frames/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

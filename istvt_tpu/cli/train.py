@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=["adamw", "sgd"], default="adamw")
     p.add_argument("--quality", "-q", choices=["hq", "lq"], default="hq")
     p.add_argument("--dataset", "-d", default="ff++",
-                   choices=["ff++", "celeb", "oulu", "dfdc", "synthetic"])
+                   choices=["ff++", "celeb", "oulu", "dfdc", "synthetic",
+                            "ff++video"])
     p.add_argument("--data_root", default="")
     p.add_argument("--transform", "-tf", default="300",
                    help="preset: 299|256|300|aug|shuffle (train_CNN.py:154-161)")
@@ -79,6 +80,20 @@ def make_datasets(args):
                     seq_len=args.seq_len, transform=tf["val"])
         return train, val
     use_native = getattr(args, "use_native_decode", False)
+    if args.dataset == "ff++video":
+        # raw .mp4 tree: decode + face-crop on the fly (video_frontend)
+        from istvt_tpu.data.video_frontend import RawVideoDataset
+        train = RawVideoDataset(root=args.data_root, quality=args.quality,
+                                mode="Train", size=args.input_size,
+                                seq_len=args.seq_len,
+                                dataset_len=args.dataset_len,
+                                seed=args.seed,
+                                use_native=use_native or None)
+        val = RawVideoDataset(root=args.data_root, quality=args.quality,
+                              mode="Test", size=args.input_size,
+                              seq_len=args.seq_len, return_fake_type=True,
+                              use_native=use_native or None)
+        return train, val
     train = VideoSeqDataset(root=args.data_root, quality=args.quality,
                             transform=tf["train"], size=args.input_size,
                             mode="Train", seq_len=args.seq_len,

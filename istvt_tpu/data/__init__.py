@@ -25,3 +25,9 @@ from istvt_tpu.data.video_dataset import (  # noqa: F401
     VideoSeqDataset,
 )
 from istvt_tpu.data.loader import ClipLoader, collate, device_feed  # noqa: F401
+from istvt_tpu.data.video_frontend import (  # noqa: F401
+    RawVideoDataset,
+    decode_clip,
+    extract_frames,
+    face_box,
+)

@@ -1,0 +1,324 @@
+"""Raw-video front end: container decode + face crop-with-margin.
+
+The reference's external `dataset` package consumed videos that had ALREADY
+been decoded and face-cropped by the paper's preprocessing (behavioral
+spec SURVEY.md §2.7.1; call sites reference train_CNN.py:172-173,
+visualize_rel.py:244-266). This module closes that gap so the framework
+runs from raw FF++/Celeb-DF downloads:
+
+  * `decode_clip` — frames at given indices from one container pass
+    (native libavformat/libavcodec via istvt_tpu.native, cv2 fallback);
+  * `face_box` — landmark-lite face localization: skin-prior segmentation
+    (YCbCr ellipse test) -> robust percentile bbox -> square crop expanded
+    by `margin` (the paper's crop-with-margin), with a fixed center-box
+    fallback when no skin region is found;
+  * `RawVideoDataset` — ClipDataset over a directory tree of .mp4/.avi
+    videos in the FF++ layout (same tree as docs/DATA.md with videos in
+    place of frame dirs), decoding + cropping on the fly;
+  * `extract_frames` — one video -> cropped frame images on disk in the
+    docs/DATA.md layout (driven by cli/preprocess.py).
+
+Decode-path determinism: native and cv2 differ in downscale filter phase
+(SWS_AREA at conversion time vs INTER_AREA post-conversion), so the
+backend is an explicit argument (`use_native`), defaulting to native only
+when available — pass False to pin the cv2 path everywhere.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from istvt_tpu import native
+from istvt_tpu.data import manifest as mf
+from istvt_tpu.data.video_dataset import ClipDataset
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def probe(path: str) -> Tuple[int, int, int, float]:
+    """-> (n_frames, width, height, fps)."""
+    if native.video_available():
+        n, w, h, fps = native.video_probe(path)
+        if n > 0:
+            return n, w, h, fps
+    if not _HAS_CV2:
+        raise RuntimeError("no video backend (native build failed, no cv2)")
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise IOError(f"cannot open video {path}")
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+    finally:
+        cap.release()
+    return n, w, h, fps
+
+
+def _decode_cv2(path: str, indices: np.ndarray, out_size: int,
+                crops: Optional[np.ndarray], mean: float,
+                std: float) -> np.ndarray:
+    if not _HAS_CV2:
+        raise RuntimeError("no video backend (native build failed, no cv2)")
+    cap = cv2.VideoCapture(path)
+    out = np.zeros((len(indices), out_size, out_size, 3), np.float32)
+    try:
+        frame_no, next_i = 0, 0
+        while next_i < len(indices):
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            while next_i < len(indices) and indices[next_i] == frame_no:
+                img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+                if crops is not None:
+                    y0, x0, ch, cw = (int(v) for v in crops[next_i])
+                    y0 &= ~1
+                    x0 &= ~1
+                    img = img[y0:y0 + ch, x0:x0 + cw]
+                img = cv2.resize(img.astype(np.float32),
+                                 (out_size, out_size),
+                                 interpolation=cv2.INTER_AREA)
+                out[next_i] = (img / 255.0 - mean) / std
+                next_i += 1
+            frame_no += 1
+    finally:
+        cap.release()
+    return out
+
+
+def decode_clip(path: str, indices: Sequence[int], out_size: int,
+                crops: Optional[np.ndarray] = None, mean: float = 0.5,
+                std: float = 0.5,
+                use_native: Optional[bool] = None) -> np.ndarray:
+    """Frames at ascending `indices` -> (n, out_size, out_size, 3) f32
+    normalized (x/255 - mean)/std. crops: optional (n, 4) (y0, x0, h, w)
+    source-pixel face boxes applied before the resize."""
+    idx = np.asarray(sorted(indices), np.int32)
+    if use_native is None:
+        use_native = native.video_available()
+    if use_native:
+        return native.video_decode_indices(path, idx, out_size, crops,
+                                           mean, std)
+    return _decode_cv2(path, idx, out_size, crops, mean, std)
+
+
+# ---------------------------------------------------------------------------
+# face localization (landmark-lite)
+
+
+def face_box(frame: np.ndarray, margin: float = 1.3,
+             mode: str = "skin") -> Tuple[int, int, int, int]:
+    """Locate a square face crop (y0, x0, h, w) in an RGB frame.
+
+    frame: (H, W, 3) uint8 or normalized float (any affine of [0,1]).
+    mode 'skin': YCbCr skin-prior mask -> 2nd..98th percentile bbox of the
+    skin pixels -> square box grown by `margin` about its center (the
+    paper's crop-with-margin); falls back to 'center' when fewer than 1%
+    of pixels are skin-like. mode 'center': fixed centered square of
+    min(H, W)/margin... i.e. the full short side shrunk by nothing —
+    centered short-side square (the standard fixed-box baseline).
+    """
+    h, w = frame.shape[:2]
+    if mode == "skin":
+        f = frame.astype(np.float32)
+        if f.max() > 2.0:          # uint8-ranged
+            f = f / 255.0
+        else:                      # undo (x - mean)/std best-effort to [0,1]
+            lo, hi = f.min(), f.max()
+            f = (f - lo) / max(hi - lo, 1e-6)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        # BT.601 YCbCr
+        cb = 128.0 + 255.0 * (-0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = 128.0 + 255.0 * (0.5 * r - 0.418688 * g - 0.081312 * b)
+        mask = (cr > 135) & (cr < 180) & (cb > 85) & (cb < 135)
+        if mask.mean() >= 0.01:
+            ys, xs = np.nonzero(mask)
+            y_lo, y_hi = np.percentile(ys, [2, 98])
+            x_lo, x_hi = np.percentile(xs, [2, 98])
+            cy, cx = (y_lo + y_hi) / 2, (x_lo + x_hi) / 2
+            side = max(y_hi - y_lo, x_hi - x_lo) * margin
+            side = int(min(max(side, 16), min(h, w)))
+            y0 = int(np.clip(cy - side / 2, 0, h - side))
+            x0 = int(np.clip(cx - side / 2, 0, w - side))
+            return y0, x0, side, side
+    # center fallback / fixed-box mode
+    side = min(h, w)
+    return (h - side) // 2, (w - side) // 2, side, side
+
+
+def clip_face_crops(path: str, indices: Sequence[int], margin: float = 1.3,
+                    mode: str = "skin", probe_size: int = 128,
+                    use_native: Optional[bool] = None,
+                    src_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """One face box for a whole clip, from its MIDDLE frame (faces move
+    little within 6 consecutive frames; one box keeps the crop temporally
+    stable, which the self-subtract attention requires — per-frame boxes
+    would alias crop jitter into the frame-difference signal).
+
+    -> (len(indices), 4) int32 (y0, x0, h, w) in source pixels."""
+    idx = sorted(indices)
+    mid = idx[len(idx) // 2]
+    if src_hw is None:
+        _, w, h, _ = probe(path)
+    else:
+        h, w = src_hw
+    if mode == "none":
+        box = (0, 0, h, w)
+    else:
+        small = decode_clip(path, [mid], probe_size, mean=0.5, std=0.5,
+                            use_native=use_native)[0]
+        by, bx, bh, bw = face_box(small, margin=margin, mode=mode)
+        # scale detector coords back to source pixels
+        sy, sx = h / probe_size, w / probe_size
+        box = (int(by * sy), int(bx * sx), int(bh * sy), int(bw * sx))
+    return np.tile(np.asarray(box, np.int32), (len(idx), 1))
+
+
+# ---------------------------------------------------------------------------
+# dataset over raw videos
+
+
+def _is_video(name: str) -> bool:
+    return name.lower().endswith(VIDEO_EXTS)
+
+
+def scan_ffpp_videos(root: str, quality: Optional[str] = None,
+                     methods: Optional[Sequence[str]] = None) -> List[Dict]:
+    """FF++-layout scan with VIDEOS in place of frame dirs:
+    root/[quality/]method/*.mp4 -> [{'path', 'label', 'fake_type',
+    'quality'}]. Flat trees (no quality level) are detected like
+    manifest.scan_ffpp."""
+    entries: List[Dict] = []
+    quals = [quality] if quality and \
+        os.path.isdir(os.path.join(root, quality)) else [None]
+    for q in quals:
+        base = os.path.join(root, q) if q else root
+        if not os.path.isdir(base):
+            continue
+        for method, ftype in mf.FFPP_METHODS.items():
+            if methods and method not in methods:
+                continue
+            mdir = os.path.join(base, method)
+            if not os.path.isdir(mdir):
+                continue
+            for name in sorted(os.listdir(mdir)):
+                if _is_video(name):
+                    entries.append({
+                        "path": os.path.join(mdir, name),
+                        "label": mf.FAKE_TYPE_TO_LABEL[ftype],
+                        "fake_type": ftype,
+                        "quality": q or "",
+                    })
+    return entries
+
+
+class RawVideoDataset(ClipDataset):
+    """Clips straight from a directory of raw videos (FF++ layout with
+    .mp4s): per item, sample `seq_len` consecutive frames (random start in
+    Train, centered otherwise), face-crop with margin, decode + resize +
+    normalize in one native container pass. Replaces the reference's
+    offline preprocessing + frame-dir dataset with an online path."""
+
+    def __init__(self, root: str, quality: Optional[str] = None,
+                 subset: Optional[str] = None, seq_len: int = 6,
+                 size: int = 300, mode: str = "Train", margin: float = 1.3,
+                 crop_mode: str = "skin", frame_stride: int = 1,
+                 mean: float = 0.5, std: float = 0.5,
+                 dataset_len: Optional[int] = None, seed: int = 0,
+                 return_fake_type: bool = False,
+                 use_native: Optional[bool] = None):
+        methods = ["original", subset] if subset else None
+        self.entries = scan_ffpp_videos(root, quality, methods)
+        if not self.entries:
+            raise FileNotFoundError(f"no videos under {root}")
+        self.seq_len = seq_len
+        self.size = size
+        self.mode = mode
+        self.margin = margin
+        self.crop_mode = crop_mode
+        self.frame_stride = frame_stride
+        self.mean, self.std = mean, std
+        self.seed = seed
+        self.return_fake_type = return_fake_type
+        self.use_native = use_native
+        self._len = dataset_len or len(self.entries)
+        self._nframes: Dict[str, int] = {}
+
+    def __len__(self):
+        return self._len
+
+    def _probe_cached(self, path: str) -> Tuple[int, int, int]:
+        if path not in self._nframes:
+            n, w, h, _ = probe(path)
+            self._nframes[path] = (n, w, h)
+        return self._nframes[path]
+
+    def __getitem__(self, index: int) -> Dict:
+        entry = self.entries[index % len(self.entries)]
+        rng = np.random.default_rng((self.seed, index))
+        n, w, h = self._probe_cached(entry["path"])
+        span = (self.seq_len - 1) * self.frame_stride + 1
+        if n <= span:
+            idxs = [min(i * self.frame_stride, n - 1)
+                    for i in range(self.seq_len)]
+        elif self.mode == "Train":
+            start = int(rng.integers(0, n - span + 1))
+            idxs = list(range(start, start + span, self.frame_stride))
+        else:
+            start = (n - span) // 2
+            idxs = list(range(start, start + span, self.frame_stride))
+        crops = clip_face_crops(entry["path"], idxs, margin=self.margin,
+                                mode=self.crop_mode,
+                                use_native=self.use_native,
+                                src_hw=(h, w))
+        clip = decode_clip(entry["path"], idxs, self.size, crops=crops,
+                           mean=self.mean, std=self.std,
+                           use_native=self.use_native)
+        item = {"clips": clip, "labels": np.int32(entry["label"])}
+        if self.return_fake_type:
+            item["fake_types"] = np.int32(entry["fake_type"])
+        return item
+
+
+# ---------------------------------------------------------------------------
+# offline extraction (docs/DATA.md layout)
+
+
+def extract_frames(video_path: str, out_dir: str, every_n: int = 1,
+                   size: int = 300, margin: float = 1.3,
+                   crop_mode: str = "skin", limit: Optional[int] = None,
+                   use_native: Optional[bool] = None) -> int:
+    """Decode every `every_n`-th frame of one video, face-crop with
+    margin, resize to `size`, save as JPEGs '0000.jpg'.. in out_dir
+    (the docs/DATA.md frame layout). Returns frames written."""
+    from PIL import Image
+
+    n, w, h, _ = probe(video_path)
+    if n <= 0:
+        return 0
+    idxs = list(range(0, n, every_n))
+    if limit:
+        idxs = idxs[:limit]
+    crops = clip_face_crops(video_path, idxs, margin=margin, mode=crop_mode,
+                            use_native=use_native, src_hw=(h, w))
+    # mean 0, std 1/255 -> raw [0, 255] pixel values
+    frames = decode_clip(video_path, idxs, size, crops=crops, mean=0.0,
+                         std=1.0 / 255.0, use_native=use_native)
+    os.makedirs(out_dir, exist_ok=True)
+    for i, f in enumerate(frames):
+        img = Image.fromarray(np.clip(f, 0, 255).astype(np.uint8))
+        img.save(os.path.join(out_dir, f"{i:04d}.jpg"), quality=95)
+    return len(frames)

@@ -40,12 +40,17 @@ def _head_agg(attn, grad):
 
 
 def _rollout(abars):
-    """R = (I + Ā_L)···(I + Ā_1) computed incrementally as
-    R <- R + Ā·R, R0 = I. abars: list of (..., N, N)."""
+    """Chefer rollout: R = N(Ā_L + I)···N(Ā_1 + I) where N row-normalizes
+    (compute_rollout_attention in the tfe engine — residual connections
+    enter as the identity term and every layer matrix is re-stochasticized
+    so relevance is conserved across the product). abars: (..., N, N)."""
     n = abars[0].shape[-1]
-    r = jnp.zeros_like(abars[0]) + jnp.eye(n, dtype=abars[0].dtype)
+    eye = jnp.eye(n, dtype=abars[0].dtype)
+    r = None
     for a in abars:
-        r = r + jnp.einsum("...ij,...jk->...ik", a, r)
+        m = a + eye
+        m = m / jnp.sum(m, axis=-1, keepdims=True)
+        r = m if r is None else jnp.einsum("...ij,...jk->...ik", m, r)
     return r
 
 

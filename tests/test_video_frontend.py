@@ -1,0 +1,157 @@
+"""Raw-video front end: container decode, face crop, RawVideoDataset,
+offline extraction (SURVEY.md §2.7.1; reference call site
+train_CNN.py:172-173 consumes the output of this stage)."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from istvt_tpu import native
+from istvt_tpu.data.video_frontend import (
+    RawVideoDataset,
+    clip_face_crops,
+    decode_clip,
+    extract_frames,
+    face_box,
+    probe,
+    scan_ffpp_videos,
+)
+
+W, H, NF = 160, 120, 30
+SKIN_BGR = (140, 160, 220)  # BGR of a skin-ish RGB (220, 160, 140)
+
+
+def _write_face_video(path, n=NF, seed=0):
+    """A dark scene with a skin-colored ellipse ('face') drifting slowly."""
+    rng = np.random.RandomState(seed)
+    wtr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (W, H))
+    assert wtr.isOpened()
+    for t in range(n):
+        img = (rng.rand(H, W, 3) * 40).astype(np.uint8)
+        cx, cy = 80 + t // 4, 60 + t // 8
+        cv2.ellipse(img, (cx, cy), (22, 30), 0, 0, 360, SKIN_BGR, -1)
+        wtr.write(img)
+    wtr.release()
+
+
+@pytest.fixture(scope="module")
+def video_tree(tmp_path_factory):
+    """FF++-layout raw-video tree: root/hq/{original,Deepfakes}/*.mp4."""
+    root = tmp_path_factory.mktemp("rawvids")
+    for method, seeds in (("original", (0, 1)), ("Deepfakes", (2, 3))):
+        d = root / "hq" / method
+        d.mkdir(parents=True)
+        for s in seeds:
+            _write_face_video(str(d / f"vid{s}.mp4"), seed=s)
+    return str(root)
+
+
+def test_probe_and_decode(video_tree):
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    n, w, h, fps = probe(path)
+    assert (n, w, h) == (NF, W, H) and fps > 0
+
+    clip = decode_clip(path, [0, 5, 6, 29], out_size=64)
+    assert clip.shape == (4, 64, 64, 3) and clip.dtype == np.float32
+    assert np.isfinite(clip).all()
+    # normalized (x/255 - .5)/.5 stays in [-1, 1]
+    assert clip.min() >= -1.001 and clip.max() <= 1.001
+    # distinct frames decoded (the ellipse moves)
+    assert np.abs(clip[0] - clip[3]).max() > 0.05
+
+
+def test_native_and_cv2_paths_agree(video_tree):
+    if not native.video_available():
+        pytest.skip("native videodecode unavailable")
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    a = decode_clip(path, [2, 10], out_size=64, use_native=True)
+    b = decode_clip(path, [2, 10], out_size=64, use_native=False)
+    # same frames, same normalization; scalers differ in filter phase only
+    assert np.abs(a - b).mean() < 0.03
+
+
+def test_face_box_finds_skin_ellipse(video_tree):
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    frame = decode_clip(path, [0], out_size=120)[0]
+    y0, x0, bh, bw = face_box(frame, margin=1.3, mode="skin")
+    assert bh == bw > 0
+    # frame 0's ellipse center maps to (60, 80)*(120/W, 120/H) scaled —
+    # decode squashes W->120: center ~ (60, 60) in the 120x120 frame
+    cy, cx = y0 + bh / 2, x0 + bw / 2
+    assert abs(cy - 60) < 25 and abs(cx - 60) < 25, (cy, cx)
+    # crop tighter than the full frame (it localized SOMETHING)
+    assert bh < 120
+
+
+def test_face_box_center_fallback():
+    flat = np.zeros((100, 160, 3), np.uint8)  # no skin pixels anywhere
+    y0, x0, bh, bw = face_box(flat, mode="skin")
+    assert (y0, x0, bh, bw) == (0, 30, 100, 100)  # centered short side
+
+
+def test_clip_face_crops_stable_box(video_tree):
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    crops = clip_face_crops(path, [0, 1, 2, 3], margin=1.3, mode="skin")
+    assert crops.shape == (4, 4)
+    # one box for the whole clip (temporally stable crop)
+    assert (crops == crops[0]).all()
+    clip = decode_clip(path, [0, 1, 2, 3], out_size=72, crops=crops)
+    assert clip.shape == (4, 72, 72, 3) and np.isfinite(clip).all()
+
+
+def test_raw_video_dataset(video_tree):
+    ds = RawVideoDataset(video_tree, quality="hq", seq_len=4, size=72,
+                         mode="Train", return_fake_type=True, seed=0)
+    assert len(ds) == 4
+    labels = set()
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item["clips"].shape == (4, 72, 72, 3)
+        assert np.isfinite(item["clips"]).all()
+        labels.add(int(item["labels"]))
+    assert labels == {0, 1}
+
+    # loader integration: one collated batch
+    from istvt_tpu.data.loader import ClipLoader
+    loader = ClipLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["clips"].shape == (4, 4, 72, 72, 3)
+    assert batch["labels"].shape == (4,)
+
+
+def test_extract_frames_to_data_layout(video_tree, tmp_path):
+    """extract_frames + preprocess CLI produce the docs/DATA.md layout
+    that VideoSeqDataset consumes."""
+    from istvt_tpu.cli.preprocess import main as preprocess_main
+    from istvt_tpu.data import VideoSeqDataset
+
+    out = tmp_path / "frames"
+    rc = preprocess_main(["--root", video_tree, "--out", str(out),
+                          "--quality", "hq", "--every-n", "3",
+                          "--size", "96", "--workers", "2"])
+    assert rc == 0
+    # layout: out/hq/<method>/<video>/0000.jpg ...
+    vid_dir = out / "hq" / "original" / "vid0"
+    frames = sorted(os.listdir(vid_dir))
+    assert len(frames) == NF // 3 and frames[0] == "0000.jpg"
+
+    ds = VideoSeqDataset(root=str(out), quality="hq", seq_len=4, size=96,
+                         mode="Test")
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["clips"].shape == (4, 96, 96, 3)
+    assert np.isfinite(item["clips"]).all()
+
+
+def test_crop_exactness_native(video_tree):
+    """A crop whose size equals out_size must round-trip bit-near-exactly
+    through the native path (no resample)."""
+    if not native.video_available():
+        pytest.skip("native videodecode unavailable")
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    crops = np.asarray([[10, 20, 64, 64]], np.int32)
+    a = decode_clip(path, [0], out_size=64, crops=crops, use_native=True)
+    b = decode_clip(path, [0], out_size=64, crops=crops, use_native=False)
+    np.testing.assert_allclose(a, b, atol=1e-5)
