@@ -288,3 +288,137 @@ def istvt_from_torch(sd: Mapping[str, Any], depth: int = 12):
     xp, xs = xception_from_torch(xcep_sd)
     vp = dsttr_from_torch(vit_sd, depth=depth)
     return {"xcep": xp, "vit": vp}, {"xcep": xs}
+
+
+# ---------------------------------------------------------------------------
+# DualNet (reference network/dual_net.py:163-232)
+
+
+def dualnet_xcep_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference `get_xcep_state_dict` surgery (dual_net.py:280-287):
+    2-D pointwise weights unsqueezed to 4-D convs, fc head stripped —
+    the form a DualNet branch loads with strict=False. Returned torch-side
+    (numpy) so it can seed either framework."""
+    out = {}
+    for k, v in sd.items():
+        if "fc" in k or "last_linear" in k:
+            continue
+        a = _np(v)
+        if "pointwise" in k and a.ndim == 2:
+            a = a[:, :, None, None]
+        out[k] = a
+    return out
+
+
+def seed_xception_branch(params, state, imagenet_sd: Mapping[str, Any]):
+    """load_state_dict(strict=False) semantics (dual_net.py:192,199):
+    overwrite every branch param whose torch counterpart exists AND shape-
+    matches (conv1 differs when in_channels != 3; fc is stripped)."""
+    donor_p, donor_s = xception_from_torch(dualnet_xcep_state_dict(imagenet_sd))
+
+    def merge(ours, theirs):
+        if isinstance(ours, dict):
+            return {k: merge(v, theirs[k]) if k in theirs else v
+                    for k, v in ours.items()}
+        if isinstance(ours, list):
+            return [merge(o, t) for o, t in zip(ours, theirs)]
+        return theirs if getattr(theirs, "shape", None) == ours.shape else ours
+
+    return merge(params, donor_p), merge(state, donor_s)
+
+
+def dualnet_from_torch(sd: Mapping[str, Any]):
+    """Convert a FULL reference DualNet state_dict (dual_net.py:163-232:
+    FAD_head/LFS_head learnable band filters, two Xception branches,
+    SequentialPolarizedSelfAttention fusion, fc(4096->1)) to our
+    (params, state). DCT matrices / fixed band supports are buffers
+    recomputed on device (models/dualnet.py), not loaded."""
+    sd = dict(sd)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["fad_head"] = {"learnable": [
+        vec(sd[f"FAD_head.filters.{i}.learnable"]) for i in range(4)]}
+    p["lfs_head"] = {"learnable": [
+        vec(sd[f"LFS_head.filters.{i}.learnable"])
+        for i in range(sum(1 for k in sd
+                           if re.match(r"LFS_head\.filters\.\d+\.learnable$", k)))]}
+    for branch, ours in (("FAD_xcep", "fad_xcep"), ("LFS_xcep", "lfs_xcep")):
+        sub = {k[len(branch) + 1:]: v for k, v in sd.items()
+               if k.startswith(branch + ".")}
+        p[ours], s[ours] = xception_from_torch(sub)
+        p[ours].pop("fc", None)  # branch heads unused (GAP-cat-fc instead)
+    fu: Dict[str, Any] = {}
+    for name in ("ch_wv", "ch_wq", "ch_wz", "sp_wv", "sp_wq"):
+        fu[name] = {"w": conv_w(sd[f"fusion.{name}.weight"])}
+        if f"fusion.{name}.bias" in sd:
+            fu[name]["b"] = vec(sd[f"fusion.{name}.bias"])
+    fu["ln"] = {"scale": vec(sd["fusion.ln.weight"]),
+                "bias": vec(sd["fusion.ln.bias"])}
+    p["fusion"] = fu
+    p["fc"] = {"w": linear_w(sd["fc.weight"]), "b": vec(sd["fc.bias"])}
+    return p, s
+
+
+# ---------------------------------------------------------------------------
+# I3D caffe2 checkpoint ingestion
+# (reference network/resnet3d/utils/convert_weights.py:1-74)
+
+
+_C2_SUFFIX = {"b": "bias", "w": "weight", "s": "weight",
+              "rm": "running_mean", "riv": "running_var"}
+_C2_DIRECT = {
+    "conv1_w": "conv1.weight",
+    "res_conv1_bn_s": "bn1.weight",
+    "res_conv1_bn_b": "bn1.bias",
+    "res_conv1_bn_rm": "bn1.running_mean",
+    "res_conv1_bn_riv": "bn1.running_var",
+    "pred_w": "fc.weight",
+    "pred_b": "fc.bias",
+}
+
+
+def i3d_torch_keys_from_caffe2(blobs: Mapping[str, Any]) -> Dict[str, Any]:
+    """Rename caffe2 I3D-R50(-NL) blobs to torch-module keys — the same
+    regex mapping the reference's convert_weights.py builds (its key_map
+    goes torch->c2; this is the forward application c2->torch)."""
+    m2num = dict(zip("abc", [1, 2, 3]))
+    conv_pat = re.compile(r"res(.)_(.)_branch2(.)_(.*)$")
+    ds_pat = re.compile(r"res(.)_(.)_branch1_(.*)$")
+    nl_pat = re.compile(r"nonlocal_conv(.)_(.)_(.*)_([^_]+)$")
+    out: Dict[str, Any] = {}
+    for key, val in blobs.items():
+        if "momentum" in key:
+            continue
+        if key in _C2_DIRECT:
+            out[_C2_DIRECT[key]] = val
+            continue
+        m = conv_pat.match(key)
+        if m:
+            layer, block, module, rest = m.groups()
+            name = "bn" if rest.startswith("bn_") else "conv"
+            suffix = _C2_SUFFIX[key.split("_")[-1]]
+            out[f"layer{int(layer) - 1}.{block}.{name}"
+                f"{m2num[module]}.{suffix}"] = val
+            continue
+        m = ds_pat.match(key)
+        if m:
+            layer, block, rest = m.groups()
+            module = 0 if key.endswith("_w") else 1
+            suffix = _C2_SUFFIX[key.split("_")[-1]]
+            out[f"layer{int(layer) - 1}.{block}.downsample.{module}."
+                f"{suffix}"] = val
+            continue
+        m = nl_pat.match(key)
+        if m:
+            layer, block, module, sfx = m.groups()
+            out[f"layer{int(layer) - 1}.{block}.nl.{module}."
+                f"{_C2_SUFFIX[sfx]}"] = val
+    return out
+
+
+def i3d_from_caffe2(blobs: Mapping[str, Any], layers=(3, 4, 6, 3)):
+    """caffe2 pickle blobs (e.g. i3d_baseline_32x2_IN_pretrain_400k.pkl
+    ['blobs']) -> our I3D (params, state), via the torch key renaming +
+    resnet3d_from_torch."""
+    return resnet3d_from_torch(i3d_torch_keys_from_caffe2(blobs), layers,
+                               "i3d")

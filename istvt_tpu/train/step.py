@@ -109,6 +109,12 @@ def make_eval_step(model, mesh=None):
         with tp.scope(mesh):
             x = batch.get("clips", batch.get("images"))
             logits, _ = model.apply(params, model_state, x, train=False)
+        if logits.ndim == 2 and logits.shape[-1] == 2:
+            # 2-class heads (the reference's num_out_classes=2 models,
+            # train_CNN.py:944 torch.max preds): collapse to one
+            # threshold-at-0 score, logit(fake) - logit(real) —
+            # argmax-equivalent predictions, AUC-valid ranking
+            logits = logits[:, 1] - logits[:, 0]
         flat = logits.reshape(-1)
         labels = batch["labels"].reshape(-1)
         out = {

@@ -95,3 +95,48 @@ def test_adversarial_train_step():
         d = jax.tree_util.tree_map(
             lambda u, v: float(jnp.abs(u - v).max()), a, b_)
         assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_triplet_model_trains_and_evals_end_to_end():
+    """VERDICT r1 #8: a multi-input (triplet) family must run the FULL
+    train -> evaluate loop: triplet train step on (anchor, pos, neg)
+    batches, then trainer.evaluate through the model's single-input apply
+    (2-class logits collapsed to a threshold-at-0 score)."""
+    from istvt_tpu.data.video_dataset import ClipDataset
+    from istvt_tpu.models.registry import model_selection
+    from istvt_tpu.train.trainer import evaluate
+
+    model = model_selection("tripunet_efficientnet_add", num_out_classes=2)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    opt = optax.sgd(1e-3)
+    ts = TrainState(params=params, model_state=mstate,
+                    opt_state=opt.init(params),
+                    step=jnp.zeros((), jnp.int32))
+    step = make_triplet_train_step(model.extras["forward_triple"], opt,
+                                   loss_kind="total")
+    rng0 = np.random.RandomState(0)
+    batch = {
+        "clips": jnp.asarray(rng0.randn(2, 48, 48, 3), jnp.float32),
+        "clips_pos": jnp.asarray(rng0.randn(2, 48, 48, 3), jnp.float32),
+        "clips_neg": jnp.asarray(rng0.randn(2, 48, 48, 3), jnp.float32),
+        "labels": jnp.asarray([0, 1]),
+    }
+    for _ in range(2):
+        ts, m = step(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+    class _Imgs(ClipDataset):
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {"images": r.normal(0, 0.5, (48, 48, 3))
+                    .astype(np.float32),
+                    "labels": np.int32(i % 2)}
+
+    from istvt_tpu.data.loader import ClipLoader
+    loader = ClipLoader(_Imgs(), batch_size=3, shuffle=False, num_workers=1)
+    ev = evaluate(model, ts.params, ts.model_state, loader)
+    assert ev["n"] == 6
+    assert 0.0 <= ev["accuracy"] <= 1.0 and 0.0 <= ev["auc"] <= 1.0

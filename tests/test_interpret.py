@@ -56,7 +56,10 @@ def test_attn_bias_grad_path_nonzero():
 
 def test_rollout_matches_numpy_reference():
     """The gradient-weighted rollout must equal an explicit numpy
-    computation R = (I + Ā_L)···(I + Ā_1) with Ā = E_h[(grad ⊙ A)+]."""
+    computation of the Chefer/tfe rule R = N(Ā_L + I)···N(Ā_1 + I) with
+    Ā = E_h[(grad ⊙ A)+] and N row-normalizing (the relevance-conserving
+    compute_rollout_attention; validated end-to-end against the torch
+    harness in tests/test_lrp_golden.py)."""
     from istvt_tpu.interpret import lrp as L
 
     rng = np.random.RandomState(0)
@@ -68,11 +71,16 @@ def test_rollout_matches_numpy_reference():
 
     a_np = [np.mean(np.maximum(np.asarray(grad[i]) * np.asarray(attn[i]), 0),
                     axis=1) for i in range(2)]
-    want = np.broadcast_to(np.eye(s_tok, dtype=np.float32),
-                           (b, t1, s_tok, s_tok)).copy()
+    want = None
     for a in a_np:
-        want = want + np.einsum("btij,btjk->btik", a, want)
+        m = a + np.eye(s_tok, dtype=np.float32)
+        m = m / m.sum(axis=-1, keepdims=True)
+        want = m if want is None else \
+            np.einsum("btij,btjk->btik", m, want)
     np.testing.assert_allclose(r, want, atol=1e-5, rtol=1e-5)
+    # every row of the rollout is a relevance distribution (conservation)
+    np.testing.assert_allclose(r.sum(-1), np.ones_like(r.sum(-1)),
+                               atol=1e-5)
 
 
 def test_attn_bias_grads_equal_attention_jacobian():
