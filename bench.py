@@ -36,12 +36,19 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16" if platform == "tpu" else "1"))
     iters = int(os.environ.get("BENCH_ITERS", "8" if platform == "tpu" else "2"))
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    # BENCH_DTYPE=int8: W8A8 serving path for the ST-layer GEMMs
+    # (kernels/quant.py; accuracy delta documented in BASELINE.md and
+    # asserted by tests/test_quant.py)
+    quant = os.environ.get("BENCH_DTYPE", "") == "int8"
 
-    cfg = ISTVTConfig(use_pallas=platform == "tpu")
+    cfg = ISTVTConfig(use_pallas=platform == "tpu",
+                      quantize="int8" if quant else "none")
     rng = jax.random.PRNGKey(0)
     params, state = istvt.init(rng, cfg)
     if platform == "tpu":
         params = tree_util.cast(params, jnp.bfloat16)
+    if quant:
+        params = istvt.quantize_params(params)
 
     @jax.jit
     def fwd(params, state, clips):
@@ -108,7 +115,9 @@ def main():
             "platform": platform,
             "batch": batch,
             "iters": iters,
-            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "dtype": "int8_w8a8" if quant else
+                     str(dtype.__name__ if hasattr(dtype, "__name__")
+                         else dtype),
             "per_clip_ms": round(p50_latency_ms, 3),
         },
     }

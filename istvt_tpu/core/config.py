@@ -33,6 +33,9 @@ class ISTVTConfig:
     emb_dropout: float = 0.0
     # compute knobs (not in reference; TPU-first additions)
     use_pallas: bool = False       # fused Pallas attention kernels
+    quantize: str = "none"         # 'int8': W8A8 ST-layer GEMMs for
+                                   # serving (requires use_pallas and
+                                   # models/istvt.quantize_params weights)
     remat: bool = False            # jax.checkpoint each ST layer (trades
                                    # recompute FLOPs for activation memory)
     param_dtype: str = "float32"

@@ -1,0 +1,264 @@
+"""Int8 serving kernels: W8A8 GEMMs for the ST-layer projections.
+
+BASELINE.md's roofline: the 625 clips/s/chip serving target exceeds the
+v5e bf16 MXU peak for ISTVT's ~0.5 TF/clip — int8 MXU throughput (2x) is
+the only route. These kernels quantize exactly where the FLOPs are (the
+12 ST layers' projection/FF GEMMs, ~90% of the model's compute) and keep
+everything precision-sensitive in float: LayerNorm statistics, softmax,
+GELU, residual stream, conv stem, and the attention cores all stay
+bf16/f32 (reference numerics contract: network/vivit/module.py).
+
+Scheme (standard dynamic W8A8):
+  * weights  — per-OUTPUT-channel symmetric int8, scale_j = max|w[:, j]|/127,
+    quantized once at load time (quantize_weight);
+  * activations — per-ROW (per-token) symmetric int8, scale computed on
+    the fly inside the kernel from the row amax — no calibration pass;
+  * GEMM — int8 x int8 -> int32 on the MXU; epilogue rescales by
+    row_scale x col_scale in f32 and applies bias/residual.
+
+Serving-only: these kernels are not differentiable (use the bf16 path
+for training); `models/istvt.py` selects them via ISTVTConfig.quantize.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+
+def quantize_weight(w) -> tuple:
+    """(D, K) float -> (int8 (D, K), f32 scales (K,)) per output channel."""
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant_rows(yf):
+    """f32 (R, D) -> (int8 (R, D), f32 row scales (R, 1))."""
+    amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+    rs = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(yf / rs), -127, 127).astype(jnp.int8)
+    return q, rs
+
+
+def _ln(xf, scale, bias):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + _EPS) * scale + bias
+
+
+def _q8_dot(q, wq):
+    """int8 (R, D) x int8 (D, K) -> f32 (R, K) raw accumulator."""
+    return jax.lax.dot_general(
+        q, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+
+
+def _ln_matmul_q8_kernel(x_ref, s_ref, b_ref, wq_ref, ws_ref, o_ref):
+    x = x_ref[...]
+    y = _ln(x.astype(jnp.float32), s_ref[...].astype(jnp.float32),
+            b_ref[...].astype(jnp.float32))
+    q, rs = _quant_rows(y)
+    acc = _q8_dot(q, wq_ref[...])
+    o = acc * rs * ws_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _row_tiles(n: int, max_tile: int = 512):
+    for t in range(max_tile, 7, -8):
+        if n % t == 0:
+            return n, (n // t,), t
+    np_ = (n + max_tile - 1) // max_tile * max_tile
+    return np_, (np_ // max_tile,), max_tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ln_matmul_q8_impl(x, s, b, wq, ws, interpret: bool = False):
+    n, d = x.shape
+    k = wq.shape[1]
+    np_, grid, tile = _row_tiles(n)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _ln_matmul_q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, k), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec(s), vec(b),
+            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(ws),
+        ],
+        out_specs=pl.BlockSpec((tile, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * d * k,
+            bytes_accessed=np_ * (d + k) * x.dtype.itemsize + d * k,
+            transcendentals=np_,
+        ),
+    )(x, s.reshape(1, -1), b.reshape(1, -1), wq, ws.reshape(1, -1))
+    return out[:n]
+
+
+def ln_matmul_q8(x, s, b, wq, ws):
+    """LayerNorm(x) @ dequant(wq, ws): x (..., N, D) bf16/f32, wq int8
+    (D, K), ws (K,) -> (..., N, K) in x.dtype. Activation rows quantize
+    dynamically after the LN, inside VMEM."""
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out = _ln_matmul_q8_impl(flat, s, b, wq, ws, interpret=interpret)
+    return out.reshape(*lead, wq.shape[1])
+
+
+def _matmul_q8_kernel(x_ref, wq_ref, ws_ref, b_ref, o_ref):
+    q, rs = _quant_rows(x_ref[...].astype(jnp.float32))
+    acc = _q8_dot(q, wq_ref[...])
+    o = acc * rs * ws_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _matmul_q8_res_kernel(x_ref, wq_ref, ws_ref, b_ref, r_ref, o_ref):
+    q, rs = _quant_rows(x_ref[...].astype(jnp.float32))
+    acc = _q8_dot(q, wq_ref[...])
+    o = acc * rs * ws_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32) + r_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "has_res"))
+def _matmul_q8_impl(x, wq, ws, b, r, interpret: bool = False,
+                    has_res: bool = False):
+    n, d = x.shape
+    k = wq.shape[1]
+    np_, grid, tile = _row_tiles(n)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+        if has_res:
+            r = jnp.pad(r, ((0, np_ - n), (0, 0)))
+    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        vec(ws), vec(b),
+    ]
+    args = [x, wq, ws.reshape(1, -1), b.reshape(1, -1)]
+    kernel = _matmul_q8_kernel
+    if has_res:
+        in_specs.append(pl.BlockSpec((tile, k), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(r)
+        kernel = _matmul_q8_res_kernel
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, k), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * d * k,
+            bytes_accessed=np_ * (d + k * (2 if has_res else 1))
+            * x.dtype.itemsize + d * k,
+            transcendentals=0,
+        ),
+    )(*args)
+    return out[:n]
+
+
+def matmul_q8_bias_residual(x, wq, ws, b, r=None):
+    """x @ dequant(wq, ws) + b [+ r] — the int8 form of
+    kernels/linear.matmul_bias_residual."""
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    rf = r.reshape(-1, r.shape[-1]) if r is not None else None
+    interpret = jax.default_backend() != "tpu"
+    out = _matmul_q8_impl(flat, wq, ws, b, rf, interpret=interpret,
+                          has_res=r is not None)
+    return out.reshape(*lead, wq.shape[1])
+
+
+def _ln_ff_q8_kernel(x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
+                     w2q_ref, w2s_ref, b2_ref, o_ref):
+    """Whole PreNorm FF residual branch int8: LN -> q8 GEMM1 -> GELU ->
+    requantize -> q8 GEMM2 -> + bias + x. Hidden tile never leaves VMEM."""
+    x = x_ref[...]
+    y = _ln(x.astype(jnp.float32), s_ref[...].astype(jnp.float32),
+            b_ref[...].astype(jnp.float32))
+    q, rs = _quant_rows(y)
+    h = _q8_dot(q, w1q_ref[...]) * rs * w1s_ref[...].astype(jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    q2, rs2 = _quant_rows(h)
+    o = _q8_dot(q2, w2q_ref[...]) * rs2 * w2s_ref[...].astype(jnp.float32) \
+        + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = (o + x.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ln_ff_q8_impl(x, s, b, w1q, w1s, b1, w2q, w2s, b2,
+                   interpret: bool = False):
+    n, d = x.shape
+    hdim = w1q.shape[1]
+    np_, grid, tile = _row_tiles(n, max_tile=256)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _ln_ff_q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec(s), vec(b),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(w1s), vec(b1),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(w2s), vec(b2),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * d * hdim,
+            bytes_accessed=2 * np_ * d * x.dtype.itemsize + 2 * d * hdim,
+            transcendentals=np_ * hdim,
+        ),
+    )(x, s.reshape(1, -1), b.reshape(1, -1), w1q, w1s.reshape(1, -1),
+      b1.reshape(1, -1), w2q, w2s.reshape(1, -1), b2.reshape(1, -1))
+    return out[:n]
+
+
+def ln_ff_residual_q8(x, s, b, w1q, w1s, b1, w2q, w2s, b2):
+    """Int8 form of kernels/mlp.ln_ff_residual (PreNorm FF + residual)."""
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out = _ln_ff_q8_impl(flat, s, b, w1q, w1s, b1, w2q, w2s, b2,
+                         interpret=interpret)
+    return out.reshape(*lead, x.shape[-1])

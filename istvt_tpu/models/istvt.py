@@ -84,6 +84,36 @@ def dsttr_init(key, cfg: ISTVTConfig):
     return p
 
 
+def quantize_params(params):
+    """Attach int8 serving weights to a trained ISTVT params tree.
+
+    For every ST layer, the projection/FF GEMM weights (where ~90% of the
+    model's FLOPs are) get per-output-channel int8 copies under a 'q8'
+    key (kernels/quant.py scheme); LN/softmax/stem/head stay float. Run
+    once at load time; apply with ISTVTConfig(use_pallas=True,
+    quantize='int8'). The float weights remain in the tree (the q8 path
+    never reads them, but attention biases / norms do).
+    """
+    from istvt_tpu.kernels.quant import quantize_weight
+
+    p = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for layer in p["vit"]["layers"] if "vit" in p else p["layers"]:
+        at, asp, ff = layer["attn_t"], layer["attn_s"], layer["ff"]
+        w_packed = jnp.concatenate([at["to_qk"]["w"], at["to_v"]["w"]],
+                                   axis=1)
+        qw, qs = quantize_weight(w_packed)
+        ow, os_ = quantize_weight(at["to_out"]["w"])
+        at["q8"] = {"qkv_wq": qw, "qkv_ws": qs, "out_wq": ow, "out_ws": os_}
+        qw, qs = quantize_weight(asp["to_qkv"]["w"])
+        ow, os_ = quantize_weight(asp["to_out"]["w"])
+        asp["q8"] = {"qkv_wq": qw, "qkv_ws": qs, "out_wq": ow,
+                     "out_ws": os_}
+        w1, s1 = quantize_weight(ff["fc1"]["w"])
+        w2, s2 = quantize_weight(ff["fc2"]["w"])
+        ff["q8"] = {"w1q": w1, "w1s": s1, "w2q": w2, "w2s": s2}
+    return p
+
+
 def _feed_forward(p, x, cfg: ISTVTConfig, train: bool, rng):
     """GELU MLP dim -> 4*dim -> dim (reference module.py:23-34)."""
     from istvt_tpu.parallel import tp as _tp
@@ -152,6 +182,10 @@ def dsttr_apply(
     # the XLA einsum path, which the SPMD partitioner shards natively.
     from istvt_tpu.parallel import tp as _tp
     fused_blocks = cfg.use_pallas and not need_attn and not _tp.active()
+    # int8 serving path: W8A8 projection GEMMs (quantize_params must have
+    # attached 'q8' weights); train/bias/attn-map paths stay float
+    use_q8 = (fused_blocks and not train and cfg.quantize == "int8"
+              and "q8" in p["layers"][0]["attn_t"])
     s_valid = s
     if fused_blocks and s % 8 != 0:
         pad = (-s) % 8
@@ -161,6 +195,20 @@ def dsttr_apply(
 
     def run_layer(x, layer, bias_t, bias_s, frng):
         # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
+        if use_q8:
+            from istvt_tpu.kernels.quant import ln_ff_residual_q8
+            out_t = A.temporal_block_q8(layer["attn_t"],
+                                        layer["attn_t"]["q8"], x,
+                                        cfg.heads, s)
+            x = A.spatial_block_q8(layer["attn_s"], layer["attn_s"]["q8"],
+                                   out_t, cfg.heads, s, residual=x,
+                                   n_valid=s_valid)
+            pf, q = layer["ff"], layer["ff"]["q8"]
+            x = ln_ff_residual_q8(x, pf["norm"]["scale"],
+                                  pf["norm"]["bias"], q["w1q"], q["w1s"],
+                                  pf["fc1"]["b"], q["w2q"], q["w2s"],
+                                  pf["fc2"]["b"])
+            return x, None, None
         if fused_blocks:
             # fully fused hot path: LN+QKV GEMMs, attention, out-GEMMs
             # and the residual adds all run as Pallas kernels; nothing

@@ -217,6 +217,45 @@ def spatial_block_fused(p, x, heads: int, tokens_per_frame: int, residual,
                                 residual)
 
 
+def temporal_block_q8(p, q8, x, heads: int, tokens_per_frame: int):
+    """Int8 serving form of temporal_block_fused: the two projection
+    GEMMs run W8A8 on the MXU (kernels/quant.py), the self-subtract
+    attention core stays bf16."""
+    from istvt_tpu.kernels.attention import temporal_attention_packed
+    from istvt_tpu.kernels.quant import ln_matmul_q8, matmul_q8_bias_residual
+
+    b, n, d = x.shape
+    s = tokens_per_frame
+    t1 = n // s
+    qkv = ln_matmul_q8(x, p["norm"]["scale"], p["norm"]["bias"],
+                       q8["qkv_wq"], q8["qkv_ws"])
+    inner = qkv.shape[-1] // 3
+    out = temporal_attention_packed(qkv.reshape(b, t1, s, 3 * inner), heads)
+    return matmul_q8_bias_residual(out.reshape(b, n, inner),
+                                   q8["out_wq"], q8["out_ws"],
+                                   p["to_out"]["b"], None)
+
+
+def spatial_block_q8(p, q8, x, heads: int, tokens_per_frame: int, residual,
+                     n_valid: int = -1):
+    """Int8 serving form of spatial_block_fused (residual fused into the
+    out-GEMM epilogue)."""
+    from istvt_tpu.kernels.attention import spatial_attention_packed
+    from istvt_tpu.kernels.quant import ln_matmul_q8, matmul_q8_bias_residual
+
+    b, n, d = x.shape
+    s = tokens_per_frame
+    t1 = n // s
+    qkv = ln_matmul_q8(x, p["norm"]["scale"], p["norm"]["bias"],
+                       q8["qkv_wq"], q8["qkv_ws"])
+    inner = qkv.shape[-1] // 3
+    out = spatial_attention_packed(qkv.reshape(b * t1, s, 3 * inner),
+                                   heads, n_valid)
+    return matmul_q8_bias_residual(out.reshape(b, n, inner),
+                                   q8["out_wq"], q8["out_ws"],
+                                   p["to_out"]["b"], residual)
+
+
 def unfold2d(x, kernel: int, stride: int, padding: int):
     """torch F.unfold over NHWC -> (B, nH, nW, k, k, C)."""
     patches = jax.lax.conv_general_dilated_patches(

@@ -8,6 +8,11 @@ epoch loop). Here a `Predictor` wraps any registry model with:
   * probability outputs (sigmoid over the BCE logit, reference
     threshold-at-0 semantics preserved via `preds`);
   * optional LRP saliency alongside logits (ISTVT only).
+
+Int8 serving: build the model with ISTVTConfig(use_pallas=True,
+quantize='int8'), pass `models.istvt.quantize_params(params)` as params —
+the ST-layer GEMMs run W8A8 on the MXU (kernels/quant.py; accuracy delta
+asserted by tests/test_quant.py).
 """
 from __future__ import annotations
 

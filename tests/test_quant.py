@@ -1,0 +1,142 @@
+"""Int8 serving path (kernels/quant.py + ISTVTConfig.quantize='int8'):
+numeric fidelity of the W8A8 kernels and the end-to-end quantized model
+(interpret mode on CPU; Mosaic lowering covered by tests/test_tpu_smoke.py
+and the BENCH_DTYPE=int8 bench)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.core.config import ISTVTConfig
+from istvt_tpu.kernels.quant import (
+    ln_ff_residual_q8,
+    ln_matmul_q8,
+    matmul_q8_bias_residual,
+    quantize_weight,
+)
+
+TINY = dict(num_frames=2, image_size=72, feat_hw=5, depth=2, num_classes=1)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(128, 64).astype(np.float32))
+    wq, ws = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and ws.shape == (64,)
+    deq = wq.astype(jnp.float32) * ws[None, :]
+    # per-channel symmetric int8: max error is half a quantization step
+    step = np.asarray(ws)
+    assert np.all(np.abs(np.asarray(deq - w)) <= step[None, :] * 0.5 + 1e-7)
+
+
+def test_ln_matmul_q8_close_to_float():
+    from istvt_tpu.kernels.linear import _ln_matmul_reference
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(48, 128).astype(np.float32))
+    s = jnp.asarray(rng.rand(128).astype(np.float32) * 0.2 + 0.9)
+    b = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32) * 0.05)
+    wq, ws = quantize_weight(w)
+    got = ln_matmul_q8(x, s, b, wq, ws)
+    want = _ln_matmul_reference(x, s, b, w)
+    rel = np.linalg.norm(np.asarray(got - want)) / \
+        np.linalg.norm(np.asarray(want))
+    assert rel < 2e-2, rel
+
+
+def test_matmul_q8_bias_residual_close():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(40, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 96).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(96).astype(np.float32) * 0.1)
+    r = jnp.asarray(rng.randn(40, 96).astype(np.float32))
+    wq, ws = quantize_weight(w)
+    got = matmul_q8_bias_residual(x, wq, ws, b, r)
+    want = jnp.dot(x, w) + b + r
+    rel = np.linalg.norm(np.asarray(got - want)) / \
+        np.linalg.norm(np.asarray(want))
+    assert rel < 2e-2, rel
+
+
+def test_ln_ff_q8_close():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(32, 64).astype(np.float32))
+    s = jnp.asarray(rng.rand(64).astype(np.float32) * 0.2 + 0.9)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(64, 256).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(256).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(256, 64).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w1q, w1s = quantize_weight(w1)
+    w2q, w2s = quantize_weight(w2)
+    got = ln_ff_residual_q8(x, s, b, w1q, w1s, b1, w2q, w2s, b2)
+    xn = (x - x.mean(-1, keepdims=True)) * jax.lax.rsqrt(
+        x.var(-1, keepdims=True) + 1e-5) * s + b
+    want = jnp.dot(jax.nn.gelu(jnp.dot(xn, w1) + b1, approximate=True),
+                   w2) + b2 + x
+    rel = np.linalg.norm(np.asarray(got - want)) / \
+        np.linalg.norm(np.asarray(want))
+    assert rel < 3e-2, rel
+
+
+def test_istvt_int8_logits_close_to_float():
+    """End-to-end: quantize_params + quantize='int8' must track the f32
+    model's logits (serving contract: threshold-at-0 predictions,
+    reference train_CNN.py:527,944)."""
+    from istvt_tpu.models import istvt
+    from istvt_tpu.models.registry import model_selection
+
+    cfg_f = ISTVTConfig(**TINY, use_pallas=True)
+    cfg_q = ISTVTConfig(**TINY, use_pallas=True, quantize="int8")
+    model = model_selection("istvt", num_out_classes=1, cfg=cfg_f)
+    params, state = model.init(jax.random.PRNGKey(0))
+    qparams = istvt.quantize_params(params)
+    assert "q8" in qparams["vit"]["layers"][0]["attn_t"]
+
+    clips = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 72, 72, 3),
+                              jnp.float32)
+    logits_f, _ = istvt.apply(params, state, clips, cfg_f)
+    logits_q, _ = istvt.apply(qparams, state, clips, cfg_q)
+    # same model, same state; int8 only perturbs the ST-layer GEMMs
+    np.testing.assert_allclose(np.asarray(logits_q), np.asarray(logits_f),
+                               atol=0.05, rtol=0.05)
+
+
+def test_istvt_int8_preserves_synthetic_auc():
+    """Accuracy contract: after overfitting the synthetic artifact in
+    float, int8 serving must keep the AUC (documented delta check)."""
+    from istvt_tpu.models import istvt
+    from istvt_tpu.models.registry import model_selection
+    from istvt_tpu.train import step as S
+    from istvt_tpu.train.metrics import auc
+    from istvt_tpu.train.schedule import cosine_schedule
+    from istvt_tpu.core.config import TrainConfig
+    from istvt_tpu.data import ClipLoader, SyntheticVideoDataset
+
+    cfg = ISTVTConfig(num_frames=3, image_size=72, feat_hw=5, depth=1)
+    model = model_selection("istvt", num_out_classes=1, cfg=cfg)
+    opt = S.make_optimizer(TrainConfig(), cosine_schedule(3e-4, 10_000))
+    ts = S.create_train_state(model, jax.random.PRNGKey(0), opt)
+    step = S.make_train_step(model, opt, donate=False)
+    ds = SyntheticVideoDataset(num_clips=16, seq_len=3, size=72, seed=0)
+    loader = ClipLoader(ds, batch_size=16, shuffle=False, num_workers=2)
+    batch = next(iter(loader))
+    batch = {"clips": jnp.asarray(batch["clips"]),
+             "labels": jnp.asarray(batch["labels"])}
+    rng = jax.random.PRNGKey(1)
+    for _ in range(25):
+        rng, srng = jax.random.split(rng)
+        ts, _ = step(ts, batch, srng)
+
+    cfg_q = ISTVTConfig(num_frames=3, image_size=72, feat_hw=5, depth=1,
+                        use_pallas=True, quantize="int8")
+    qparams = istvt.quantize_params(ts.params)
+    logits_q, _ = istvt.apply(qparams, ts.model_state, batch["clips"],
+                              cfg_q)
+    logits_f, _ = istvt.apply(ts.params, ts.model_state, batch["clips"],
+                              cfg)
+    auc_f = float(auc(logits_f.reshape(-1), batch["labels"]))
+    auc_q = float(auc(logits_q.reshape(-1), batch["labels"]))
+    assert auc_f > 0.9
+    assert abs(auc_q - auc_f) < 0.02, (auc_f, auc_q)
