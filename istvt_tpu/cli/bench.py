@@ -70,16 +70,44 @@ def main(argv=None):
         from istvt_tpu.train.schedule import cosine_schedule
         opt = S.make_optimizer(TrainConfig(), cosine_schedule(1e-4, 1000))
         ts = S.create_train_state(model, jax.random.PRNGKey(0), opt)
-        step_fn = S.make_train_step(model, opt, donate=False)
-        batch = {"clips" if is_clip else "images": x,
-                 "labels": jnp.zeros((args.batch_size,), jnp.int32)}
+        # donate like the real Trainer (undonated TrainState copies cost
+        # ~2x at this size); steps chain through ts, so fetching the last
+        # loss blocks on the whole sequence — per-call times stay honest
+        # without paying the remote-tunnel fetch per step
+        step_fn = S.make_train_step(
+            model, opt, donate=True,
+            compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+            else None)
+        key = "clips" if is_clip else "images"
+        xf = x.astype(jnp.float32)
+        state_box = {"ts": ts}
 
-        def run(i):
-            b = dict(batch)
-            key = "clips" if is_clip else "images"
-            b[key] = b[key] + 0.01 * i
-            _, m = step_fn(ts, b, jax.random.PRNGKey(i))
-            return float(m["loss"])
+        labels = jnp.zeros((args.batch_size,), jnp.int32)
+
+        def dispatch(i):
+            b = {key: xf + 0.01 * i, "labels": labels}
+            state_box["ts"], m = step_fn(state_box["ts"], b,
+                                         jax.random.PRNGKey(i))
+            return m
+
+        m = dispatch(0)          # compile
+        float(m["loss"])
+        m = dispatch(1)          # warmup steady-state
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            m = dispatch(i + 2)
+        float(m["loss"])         # blocks on the chain through ts
+        med = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "model": args.model_name,
+            "mode": "train_step",
+            "batch": args.batch_size,
+            "median_ms": round(med * 1000, 2),
+            "items_per_sec": round(args.batch_size / med, 2),
+            "platform": platform,
+        }))
+        return
     else:
         fwd = jax.jit(lambda p, s, v: jnp.sum(model.apply(p, s, v,
                                                           train=False)[0]))

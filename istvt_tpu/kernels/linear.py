@@ -110,6 +110,97 @@ def _ln_matmul_reference(x, s, b, w):
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _ln_stats(xf):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    return xc * rstd, rstd
+
+
+def _ln_bwd_rows(dy, xhat, s, rstd):
+    """LayerNorm input-grad for row-local stats (f32 in, f32 out)."""
+    dxhat = dy * s
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return (dxhat - m1 - xhat * m2) * rstd
+
+
+def _ln_matmul_bwd_kernel(x_ref, s_ref, b_ref, w_ref, g_ref,
+                          dx_ref, ds_ref, db_ref, dw_ref):
+    """Fused backward of LN->GEMM on one token tile; dw/ds/db accumulate
+    f32 across the grid (constant-index output blocks stay VMEM-resident;
+    zero-padded g rows contribute nothing)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    s = s_ref[...].astype(jnp.float32)
+    xhat, rstd = _ln_stats(x.astype(jnp.float32))
+    y = (xhat * s + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+    dy = jax.lax.dot_general(g, w_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (t, D)
+    ds_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dx_ref[...] = _ln_bwd_rows(dy, xhat, s, rstd).astype(dx_ref.dtype)
+    dw_ref[...] += jax.lax.dot_general(
+        y, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ln_matmul_bwd_impl(x, s, b, w, g, interpret: bool = False):
+    n, d = x.shape
+    k = w.shape[1]
+    np_, grid, tile = _row_tiles(n)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+        g = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    vec_spec = pl.BlockSpec((1, d), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    dx, ds, db, dw = pl.pallas_call(
+        _ln_matmul_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, k), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec, vec_spec,
+            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * np_ * d * k,
+            bytes_accessed=(2 * np_ * (d + k) + 2 * d * k)
+            * x.dtype.itemsize,
+            transcendentals=np_,
+        ),
+    )(x, s.reshape(1, -1), b.reshape(1, -1), w, g)
+    return dx[:n], ds.reshape(-1), db.reshape(-1), dw
+
+
 @jax.custom_vjp
 def ln_matmul(x, s, b, w):
     """LayerNorm(x) @ w, x: (..., N, D), w: (D, K) -> (..., N, K).
@@ -131,6 +222,14 @@ def _ln_matmul_fwd(x, s, b, w):
 
 
 def _ln_matmul_bwd(res, g):
+    x, s, b, w = res
+    if jax.default_backend() == "tpu":
+        flat = x.reshape(-1, x.shape[-1])
+        gf = g.reshape(-1, g.shape[-1])
+        dx, ds, db, dw = _ln_matmul_bwd_impl(flat, s, b, w.astype(x.dtype),
+                                             gf)
+        return (dx.reshape(x.shape), ds.astype(s.dtype),
+                db.astype(b.dtype), dw.astype(w.dtype))
     _, vjp = jax.vjp(_ln_matmul_reference, *res)
     return vjp(g)
 

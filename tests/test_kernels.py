@@ -297,3 +297,95 @@ def test_fused_layer_path_matches_unfused_istvt():
     for lr, lo in zip(leaves_r, leaves_o):
         np.testing.assert_allclose(np.asarray(lo), np.asarray(lr),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_ln_matmul_bwd_kernel_matches_vjp():
+    """Fused LN->GEMM backward (interpret mode) vs jax.vjp of the XLA
+    reference."""
+    from istvt_tpu.kernels.linear import (
+        _ln_matmul_bwd_impl, _ln_matmul_reference)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(40, 128).astype(np.float32))
+    s = jnp.asarray(rng.rand(128).astype(np.float32) * 0.2 + 0.9)
+    b = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32) * 0.05)
+    g = jnp.asarray(rng.randn(40, 256).astype(np.float32))
+
+    dx, ds, db, dw = _ln_matmul_bwd_impl(x, s, b, w, g, interpret=True)
+    _, vjp = jax.vjp(_ln_matmul_reference, x, s, b, w)
+    dx_r, ds_r, db_r, dw_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_r),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ln_ff_bwd_kernel_matches_vjp():
+    """Fused PreNorm-FF backward (interpret mode) vs jax.vjp of the XLA
+    reference. Multi-tile rows exercise the grid accumulation."""
+    from istvt_tpu.kernels.mlp import _ln_ff_bwd_impl, _ln_ff_res_reference
+
+    rng = np.random.RandomState(1)
+    n, d, h = 48, 64, 256  # n = 2 tiles of 24? _row_tiles picks 48 -> 1;
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    s = jnp.asarray(rng.rand(d).astype(np.float32) * 0.2 + 0.9)
+    bn = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(d, h).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(h, d).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.randn(n, d).astype(np.float32))
+
+    dx, ds, dbn, dw1, db1, dw2, db2 = _ln_ff_bwd_impl(
+        x, s, bn, w1, b1, w2, g, interpret=True)
+    _, vjp = jax.vjp(_ln_ff_res_reference, x, s, bn, w1, b1, w2, b2)
+    refs = vjp(g)
+    for got, want in zip((dx, ds, dbn, dw1, db1, dw2, db2), refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_ln_matmul_bwd_grid_accumulation():
+    """Rows spanning several grid tiles (including a padded tail) must
+    accumulate dw/ds/db exactly like the single-shot reference."""
+    from istvt_tpu.kernels.linear import (
+        _ln_matmul_bwd_impl, _ln_matmul_reference)
+
+    rng = np.random.RandomState(2)
+    n, d, k = 1040, 128, 128   # 1040 = 130 x 8: tiles of 520/etc + pad
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    s = jnp.asarray(rng.rand(d).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(d, k).astype(np.float32) * 0.05)
+    g = jnp.asarray(rng.randn(n, k).astype(np.float32))
+    dx, ds, db, dw = _ln_matmul_bwd_impl(x, s, b, w, g, interpret=True)
+    _, vjp = jax.vjp(_ln_matmul_reference, x, s, b, w)
+    dx_r, ds_r, db_r, dw_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_temporal_packed_bwd_kernel_matches_vjp():
+    """Packed (segmented-matmul) temporal-attention backward vs jax.vjp
+    of the XLA reference (interpret mode)."""
+    from istvt_tpu.kernels.attention import (
+        _temporal_packed_reference, fused_temporal_attention_packed_bwd)
+
+    rng = np.random.RandomState(0)
+    b, t1, s, heads, dh = 2, 4, 16, 2, 8
+    inner = heads * dh
+    qkv = jnp.asarray(rng.randn(b, t1, s, 3 * inner).astype(np.float32))
+    g = jnp.asarray(rng.randn(b, t1, s, inner).astype(np.float32))
+    got = fused_temporal_attention_packed_bwd(qkv, g, heads=heads,
+                                              interpret=True)
+    _, vjp = jax.vjp(lambda u: _temporal_packed_reference(u, heads), qkv)
+    (want,) = vjp(g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

@@ -174,3 +174,40 @@ def test_ln_ff_residual_tpu():
                gelu(linear({"w": w1, "b": b1}, h)))
     want = h + x
     _assert_close_bf16(got, want)
+
+
+@requires_tpu
+def test_ln_matmul_bwd_tpu():
+    from istvt_tpu.kernels.linear import (
+        _ln_matmul_bwd_impl, _ln_matmul_reference)
+    x = _rand(27, (B * T1 * S, 728))
+    s = _rand(28, (728,), jnp.float32) * 0.1 + 1.0
+    b = _rand(29, (728,), jnp.float32) * 0.1
+    w = _rand(30, (728, 1536)) * jnp.bfloat16(0.05)
+    g = _rand(31, (B * T1 * S, 1536))
+    dx, ds, db, dw = _ln_matmul_bwd_impl(x, s, b, w, g)
+    _, vjp = jax.vjp(_ln_matmul_reference, x, s, b, w)
+    dx_r, ds_r, db_r, dw_r = vjp(g)
+    _assert_close_bf16(dx, dx_r)
+    _assert_close_bf16(dw, dw_r)
+    _assert_close_bf16(ds, ds_r)
+    _assert_close_bf16(db, db_r)
+
+
+@requires_tpu
+def test_ln_ff_bwd_tpu():
+    from istvt_tpu.kernels.mlp import _ln_ff_bwd_impl, _ln_ff_res_reference
+    x = _rand(32, (B * T1 * S, 728))
+    s = _rand(33, (728,), jnp.float32) * 0.1 + 1.0
+    bn = _rand(34, (728,), jnp.float32) * 0.1
+    w1 = _rand(35, (728, 2912)) * jnp.bfloat16(0.05)
+    b1 = _rand(36, (2912,), jnp.float32) * 0.1
+    w2 = _rand(37, (2912, 728)) * jnp.bfloat16(0.05)
+    b2 = _rand(38, (728,), jnp.float32) * 0.1
+    g = _rand(39, (B * T1 * S, 728))
+    outs = _ln_ff_bwd_impl(x, s, bn, w1.astype(x.dtype),
+                           b1.astype(x.dtype), w2.astype(x.dtype), g)
+    _, vjp = jax.vjp(_ln_ff_res_reference, x, s, bn, w1, b1, w2, b2)
+    refs = vjp(g)
+    for got, want in zip(outs, refs):
+        _assert_close_bf16(got, want, rel_l2=2e-2, max_frac=0.04)
