@@ -198,9 +198,81 @@ def matmul_q8_bias_residual(x, wq, ws, b, r=None):
 
 
 def _ln_ff_q8_kernel(x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
-                     w2q_ref, w2s_ref, b2_ref, o_ref):
-    """Whole PreNorm FF residual branch int8: LN -> q8 GEMM1 -> GELU ->
-    requantize -> q8 GEMM2 -> + bias + x. Hidden tile never leaves VMEM."""
+                     w2_ref, b2_ref, o_ref):
+    """PreNorm FF residual branch: LN -> int8 GEMM1 -> GELU -> bf16
+    GEMM2 -> + bias + x. GEMM2 deliberately stays bf16: requantizing the
+    4x-wide GELU hidden costs more VPU time than the int8 MXU saves
+    (profiled 1.27 ms vs bf16's 1.0 — the amax/round/clip chain over
+    (tile, 2912) f32 dominates), and skipping it removes that
+    quantization error entirely."""
+    x = x_ref[...]
+    y = _ln(x.astype(jnp.float32), s_ref[...].astype(jnp.float32),
+            b_ref[...].astype(jnp.float32))
+    q, rs = _quant_rows(y)
+    h = _q8_dot(q, w1q_ref[...]) * rs * w1s_ref[...].astype(jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32) \
+        + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = (o + x.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ln_ff_q8_impl(x, s, b, w1q, w1s, b1, w2, b2,
+                   interpret: bool = False):
+    n, d = x.shape
+    hdim = w1q.shape[1]
+    np_, grid, tile = _row_tiles(n, max_tile=256)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _ln_ff_q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec(s), vec(b),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(w1s), vec(b1),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(b2),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * d * hdim,
+            bytes_accessed=2 * np_ * d * x.dtype.itemsize + 2 * d * hdim,
+            transcendentals=np_ * hdim,
+        ),
+    )(x, s.reshape(1, -1), b.reshape(1, -1), w1q, w1s.reshape(1, -1),
+      b1.reshape(1, -1), w2.astype(x.dtype), b2.reshape(1, -1))
+    return out[:n]
+
+
+def ln_ff_residual_q8(x, s, b, w1q, w1s, b1, w2, b2):
+    """Mixed int8/bf16 form of kernels/mlp.ln_ff_residual: int8 fc1,
+    bf16 fc2 (see kernel docstring for why fc2 stays float)."""
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out = _ln_ff_q8_impl(flat, s, b, w1q, w1s, b1, w2, b2,
+                         interpret=interpret)
+    return out.reshape(*lead, x.shape[-1])
+
+
+def _ln_ff_q8_full_kernel(x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
+                          w2q_ref, w2s_ref, b2_ref, o_ref):
+    """Fully-int8 FF variant (both GEMMs W8A8, GELU hidden requantized).
+    Kept alongside the mixed kernel for A/B measurement — see
+    _ln_ff_q8_kernel's docstring for the tradeoff."""
     x = x_ref[...]
     y = _ln(x.astype(jnp.float32), s_ref[...].astype(jnp.float32),
             b_ref[...].astype(jnp.float32))
@@ -215,8 +287,8 @@ def _ln_ff_q8_kernel(x_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _ln_ff_q8_impl(x, s, b, w1q, w1s, b1, w2q, w2s, b2,
-                   interpret: bool = False):
+def _ln_ff_q8_full_impl(x, s, b, w1q, w1s, b1, w2q, w2s, b2,
+                        interpret: bool = False):
     n, d = x.shape
     hdim = w1q.shape[1]
     np_, grid, tile = _row_tiles(n, max_tile=256)
@@ -225,7 +297,7 @@ def _ln_ff_q8_impl(x, s, b, w1q, w1s, b1, w2q, w2s, b2,
     vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _ln_ff_q8_kernel,
+        _ln_ff_q8_full_kernel,
         out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
         grid=grid,
         in_specs=[
@@ -254,11 +326,11 @@ def _ln_ff_q8_impl(x, s, b, w1q, w1s, b1, w2q, w2s, b2,
     return out[:n]
 
 
-def ln_ff_residual_q8(x, s, b, w1q, w1s, b1, w2q, w2s, b2):
-    """Int8 form of kernels/mlp.ln_ff_residual (PreNorm FF + residual)."""
+def ln_ff_residual_q8_full(x, s, b, w1q, w1s, b1, w2q, w2s, b2):
+    """Fully-int8 FF (see ln_ff_residual_q8 for the default mixed form)."""
     lead = x.shape[:-1]
     flat = x.reshape(-1, x.shape[-1])
     interpret = jax.default_backend() != "tpu"
-    out = _ln_ff_q8_impl(flat, s, b, w1q, w1s, b1, w2q, w2s, b2,
-                         interpret=interpret)
+    out = _ln_ff_q8_full_impl(flat, s, b, w1q, w1s, b1, w2q, w2s, b2,
+                              interpret=interpret)
     return out.reshape(*lead, x.shape[-1])

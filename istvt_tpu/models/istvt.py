@@ -196,18 +196,41 @@ def dsttr_apply(
     def run_layer(x, layer, bias_t, bias_s, frng):
         # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
         if use_q8:
-            from istvt_tpu.kernels.quant import ln_ff_residual_q8
+            from istvt_tpu.kernels.mlp import ln_ff_residual
             out_t = A.temporal_block_q8(layer["attn_t"],
                                         layer["attn_t"]["q8"], x,
                                         cfg.heads, s)
             x = A.spatial_block_q8(layer["attn_s"], layer["attn_s"]["q8"],
                                    out_t, cfg.heads, s, residual=x,
                                    n_valid=s_valid)
-            pf, q = layer["ff"], layer["ff"]["q8"]
-            x = ln_ff_residual_q8(x, pf["norm"]["scale"],
-                                  pf["norm"]["bias"], q["w1q"], q["w1s"],
-                                  pf["fc1"]["b"], q["w2q"], q["w2s"],
-                                  pf["fc2"]["b"])
+            # FF default: FULLY int8 (both GEMMs W8A8 with the GELU
+            # hidden requantized in VMEM) — interleaved same-process A/B
+            # on the chip: full 263.1 clips/s, mixed (bf16 fc2) 248.0,
+            # bf16 FF 231.9. ISTVT_Q8_FF=bf16|mixed keeps the slower
+            # variants reachable for experiments / accuracy studies.
+            import os as _os
+            pf = layer["ff"]
+            ff_mode = _os.environ.get("ISTVT_Q8_FF", "full")
+            if ff_mode == "mixed":
+                from istvt_tpu.kernels.quant import ln_ff_residual_q8
+                q = pf["q8"]
+                x = ln_ff_residual_q8(x, pf["norm"]["scale"],
+                                      pf["norm"]["bias"], q["w1q"],
+                                      q["w1s"], pf["fc1"]["b"],
+                                      pf["fc2"]["w"], pf["fc2"]["b"])
+                return x, None, None
+            if ff_mode == "bf16":
+                x = ln_ff_residual(x, pf["norm"]["scale"],
+                                   pf["norm"]["bias"],
+                                   pf["fc1"]["w"], pf["fc1"]["b"],
+                                   pf["fc2"]["w"], pf["fc2"]["b"])
+                return x, None, None
+            from istvt_tpu.kernels.quant import ln_ff_residual_q8_full
+            q = pf["q8"]
+            x = ln_ff_residual_q8_full(
+                x, pf["norm"]["scale"], pf["norm"]["bias"],
+                q["w1q"], q["w1s"], pf["fc1"]["b"],
+                q["w2q"], q["w2s"], pf["fc2"]["b"])
             return x, None, None
         if fused_blocks:
             # fully fused hot path: LN+QKV GEMMs, attention, out-GEMMs

@@ -69,8 +69,7 @@ def test_ln_ff_q8_close():
     w2 = jnp.asarray(rng.randn(256, 64).astype(np.float32) * 0.1)
     b2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
     w1q, w1s = quantize_weight(w1)
-    w2q, w2s = quantize_weight(w2)
-    got = ln_ff_residual_q8(x, s, b, w1q, w1s, b1, w2q, w2s, b2)
+    got = ln_ff_residual_q8(x, s, b, w1q, w1s, b1, w2, b2)
     xn = (x - x.mean(-1, keepdims=True)) * jax.lax.rsqrt(
         x.var(-1, keepdims=True) + 1e-5) * s + b
     want = jnp.dot(jax.nn.gelu(jnp.dot(xn, w1) + b1, approximate=True),
