@@ -318,7 +318,7 @@ def apply(params, state, clips, cfg: ISTVTConfig = ISTVTConfig(),
     b, t, hh, ww, c = clips.shape
     x = clips.reshape(b * t, hh, ww, c)
     feats, ns = xception.low_level_features(params["xcep"], state["xcep"], x,
-                                            train)
+                                            train, use_pallas=cfg.use_pallas)
     fh = feats.shape[1]
     feats = feats.reshape(b, t, fh, fh, feats.shape[-1])
     out = dsttr_apply(params["vit"], feats, cfg, train=train, rng=rng,

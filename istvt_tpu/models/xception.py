@@ -92,8 +92,16 @@ def block_init(key, spec):
     return p, s
 
 
-def block_apply(p, s, x, spec, train: bool):
-    """Residual sepconv block (reference network/xception.py:52-101)."""
+def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False):
+    """Residual sepconv block (reference network/xception.py:52-101).
+
+    use_pallas is accepted for signature stability but the XLA path is
+    always used: a fused [relu->]sepconv->foldedBN Pallas kernel exists
+    (kernels/conv.py) and is numerically exact, but measured SLOWER than
+    XLA's lowering on v5e (74^2: 5.7 vs 4.2 ms; 37^2: 6.8 vs 5.8; the
+    147^2 shape exceeds the remote compiler) — Mosaic's sublane-shifted
+    depthwise taps cost more than XLA's conv schedule. Kept unwired as a
+    documented negative result."""
     _, _, _, stride, start_with_relu, _ = spec
     y = x
     ns = {"rep": []}
@@ -143,7 +151,8 @@ def _entry(p, s, x, train):
     return x, ns
 
 
-def mid_features(p, s, x, through_block: int, train: bool = False):
+def mid_features(p, s, x, through_block: int, train: bool = False,
+                 use_pallas: bool = False):
     """conv1..block{through_block}. through=3 is the ISTVT stem
     (reference network/xception.py:193-206).
 
@@ -154,13 +163,16 @@ def mid_features(p, s, x, through_block: int, train: bool = False):
     ns.update(ent)
     for i in range(1, through_block + 1):
         name = f"block{i}"
-        x, ns[name] = block_apply(p[name], s[name], x, BLOCK_SPECS[i - 1], train)
+        x, ns[name] = block_apply(p[name], s[name], x, BLOCK_SPECS[i - 1],
+                                  train, use_pallas=use_pallas)
     return x, ns
 
 
 def low_level_features(p, s, x, train: bool = False,
-                       cfg: XceptionConfig = XceptionConfig()):
-    return mid_features(p, s, x, cfg.low_level_through, train)
+                       cfg: XceptionConfig = XceptionConfig(),
+                       use_pallas: bool = False):
+    return mid_features(p, s, x, cfg.low_level_through, train,
+                        use_pallas=use_pallas)
 
 
 def tail_features(p, s, x, from_block: int = 8, train: bool = False):

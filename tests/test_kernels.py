@@ -389,3 +389,78 @@ def test_temporal_packed_bwd_kernel_matches_vjp():
     (want,) = vjp(g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_sepconv_bn_kernel_matches_reference():
+    """Fused [relu->]sepconv->foldedBN kernel (interpret) vs the XLA
+    separable_conv2d + inference batchnorm composition."""
+    from istvt_tpu.kernels.conv import _sepconv_bn_reference, sepconv_bn
+    from istvt_tpu.nn.layers import batchnorm, separable_conv2d
+
+    rng = np.random.RandomState(0)
+    n, h, w, cin, cout = 2, 13, 11, 16, 24
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    dw = jnp.asarray(rng.randn(3, 3, 1, cin).astype(np.float32) * 0.2)
+    pw = jnp.asarray(rng.randn(1, 1, cin, cout).astype(np.float32) * 0.2)
+    scale = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    mean = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.05)
+    var = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+
+    from istvt_tpu.kernels.conv import fold_bn
+    a, b = fold_bn(scale, bias, mean, var)
+    for relu_in in (False, True):
+        got = sepconv_bn(x, dw.reshape(9, cin), pw.reshape(cin, cout),
+                         a.reshape(1, -1), b.reshape(1, -1), relu_in)
+        # golden: the actual layer composition used on the XLA path
+        xi = jnp.maximum(x, 0) if relu_in else x
+        y = separable_conv2d({"dw": {"w": dw}, "pw": {"w": pw}}, xi,
+                             stride=1, padding=1)
+        want, _ = batchnorm({"scale": scale, "bias": bias},
+                            {"mean": mean, "var": var}, y, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_sepconv_bn_vs_xception_unit():
+    """The fused sepconv kernel (kernels/conv.py — unwired negative
+    result, see models/xception.block_apply docstring) must still match
+    a real Xception block unit's sepconv+BN composition exactly."""
+    from istvt_tpu.kernels.conv import fold_bn, sepconv_bn
+    from istvt_tpu.models import xception as X
+    from istvt_tpu.nn.layers import batchnorm, relu, separable_conv2d
+
+    p, s = X.block_init(jax.random.PRNGKey(0), X.BLOCK_SPECS[0])
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 24, 24, 64).astype(np.float32) * 0.5)
+    unit, bns = p["rep"][0], s["rep"][0]["bn"]
+    a, b = fold_bn(unit["bn"]["scale"], unit["bn"]["bias"],
+                   bns["mean"], bns["var"])
+    got = sepconv_bn(x, unit["sep"]["dw"]["w"].reshape(9, 64),
+                     unit["sep"]["pw"]["w"].reshape(64, -1),
+                     a.reshape(1, -1), b.reshape(1, -1), False)
+    y = separable_conv2d(unit["sep"], x, stride=1, padding=1)
+    want, _ = batchnorm(unit["bn"], bns, y, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_sepconv_bn_gradient():
+    """custom_vjp backward (XLA recompute) supports eval-mode grads
+    (the LRP input-relevance path)."""
+    from istvt_tpu.kernels.conv import (_sepconv_bn_reference, fold_bn,
+                                        sepconv_bn)
+
+    rng = np.random.RandomState(2)
+    n, h, w, cin, cout = 1, 8, 8, 8, 8
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    dw = jnp.asarray(rng.randn(9, cin).astype(np.float32) * 0.2)
+    pw = jnp.asarray(rng.randn(cin, cout).astype(np.float32) * 0.2)
+    a = jnp.ones((1, cout), jnp.float32)
+    b = jnp.zeros((1, cout), jnp.float32)
+    g_ker = jax.grad(lambda u: jnp.sum(sepconv_bn(u, dw, pw, a, b, True)
+                                       ** 2))(x)
+    g_ref = jax.grad(lambda u: jnp.sum(
+        _sepconv_bn_reference(u, dw, pw, a, b, True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
