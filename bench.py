@@ -38,8 +38,11 @@ def main():
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     # BENCH_DTYPE=int8: W8A8 serving path for the ST-layer GEMMs
     # (kernels/quant.py; accuracy delta documented in BASELINE.md and
-    # asserted by tests/test_quant.py)
-    quant = os.environ.get("BENCH_DTYPE", "") == "int8"
+    # asserted by tests/test_quant.py). TPU-only: off-TPU the q8 kernels
+    # never engage (use_pallas gates them), so honor the flag only where
+    # it actually changes the measured program.
+    quant = os.environ.get("BENCH_DTYPE", "") == "int8" \
+        and platform == "tpu"
 
     cfg = ISTVTConfig(use_pallas=platform == "tpu",
                       quantize="int8" if quant else "none")

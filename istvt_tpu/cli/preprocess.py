@@ -32,11 +32,15 @@ def parse_args(argv=None):
                    help="keep every n-th frame")
     p.add_argument("--size", type=int, default=300, help="output frame size")
     p.add_argument("--margin", type=float, default=1.3,
-                   help="face-crop margin (box side multiplier)")
+                   help="face-crop margin (box side multiplier; "
+                        "skin mode only — center/none ignore it)")
     p.add_argument("--crop-mode", default="skin",
                    choices=["skin", "center", "none"],
-                   help="face localization: skin-prior box, fixed center "
-                        "box, or no crop")
+                   help="face localization: skin-prior box (re-detected "
+                        "every --redetect-every sampled frames), fixed "
+                        "center box, or no crop")
+    p.add_argument("--redetect-every", type=int, default=25,
+                   help="sampled frames per face-box re-localization")
     p.add_argument("--limit-frames", type=int, default=None,
                    help="cap frames per video")
     p.add_argument("--workers", type=int, default=os.cpu_count() or 8)
@@ -69,7 +73,8 @@ def main(argv=None) -> int:
                            size=args.size, margin=args.margin,
                            crop_mode=args.crop_mode,
                            limit=args.limit_frames,
-                           use_native=args.use_native)
+                           use_native=args.use_native,
+                           redetect_every=args.redetect_every)
         return entry["path"], n
 
     t0 = time.time()

@@ -36,6 +36,9 @@ class ISTVTConfig:
     quantize: str = "none"         # 'int8': W8A8 ST-layer GEMMs for
                                    # serving (requires use_pallas and
                                    # models/istvt.quantize_params weights)
+    q8_ff: str = "full"            # int8 FF form: 'full' (fastest,
+                                   # measured 263 clips/s) | 'mixed'
+                                   # (int8 fc1 only, 248) | 'bf16' (232)
     remat: bool = False            # jax.checkpoint each ST layer (trades
                                    # recompute FLOPs for activation memory)
     param_dtype: str = "float32"

@@ -48,23 +48,34 @@ except Exception:  # pragma: no cover
 
 
 def probe(path: str) -> Tuple[int, int, int, float]:
-    """-> (n_frames, width, height, fps)."""
+    """-> (n_frames, width, height, fps). Containers that carry no frame
+    count (some mkv/webm) fall back to a full decode-and-count pass so
+    n_frames is ALWAYS > 0 for a non-empty, openable video."""
+    n = -1
+    w = h = 0
+    fps = 0.0
     if native.video_available():
         n, w, h, fps = native.video_probe(path)
         if n > 0:
             return n, w, h, fps
-    if not _HAS_CV2:
-        raise RuntimeError("no video backend (native build failed, no cv2)")
-    cap = cv2.VideoCapture(path)
-    try:
-        if not cap.isOpened():
-            raise IOError(f"cannot open video {path}")
-        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        fps = float(cap.get(cv2.CAP_PROP_FPS))
-    finally:
-        cap.release()
+    if _HAS_CV2:
+        cap = cv2.VideoCapture(path)
+        try:
+            if not cap.isOpened() and n < 0 and not w:
+                raise IOError(f"cannot open video {path}")
+            if cap.isOpened():
+                n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                w = w or int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                h = h or int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                fps = fps or float(cap.get(cv2.CAP_PROP_FPS))
+                if n <= 0:  # metadata absent: decode-and-count
+                    n = 0
+                    while cap.grab():
+                        n += 1
+        finally:
+            cap.release()
+    if n <= 0 or not w or not h:
+        raise IOError(f"cannot determine frame count/geometry of {path}")
     return n, w, h, fps
 
 
@@ -103,16 +114,27 @@ def decode_clip(path: str, indices: Sequence[int], out_size: int,
                 crops: Optional[np.ndarray] = None, mean: float = 0.5,
                 std: float = 0.5,
                 use_native: Optional[bool] = None) -> np.ndarray:
-    """Frames at ascending `indices` -> (n, out_size, out_size, 3) f32
-    normalized (x/255 - mean)/std. crops: optional (n, 4) (y0, x0, h, w)
-    source-pixel face boxes applied before the resize."""
-    idx = np.asarray(sorted(indices), np.int32)
+    """Frames at `indices` -> (n, out_size, out_size, 3) f32 normalized
+    (x/255 - mean)/std, rows in the ORDER GIVEN. crops: optional (n, 4)
+    (y0, x0, h, w) source-pixel face boxes, aligned with `indices`
+    (decode happens in ascending order internally; crops and output rows
+    are permuted to match)."""
+    idx_in = np.asarray(indices, np.int32)
+    order = np.argsort(idx_in, kind="stable")
+    idx = np.ascontiguousarray(idx_in[order])
+    cr = None
+    if crops is not None:
+        cr = np.ascontiguousarray(np.asarray(crops, np.int32)[order])
     if use_native is None:
         use_native = native.video_available()
     if use_native:
-        return native.video_decode_indices(path, idx, out_size, crops,
-                                           mean, std)
-    return _decode_cv2(path, idx, out_size, crops, mean, std)
+        out = native.video_decode_indices(path, idx, out_size, cr,
+                                          mean, std)
+    else:
+        out = _decode_cv2(path, idx, out_size, cr, mean, std)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    return out[inv]
 
 
 # ---------------------------------------------------------------------------
@@ -127,9 +149,9 @@ def face_box(frame: np.ndarray, margin: float = 1.3,
     mode 'skin': YCbCr skin-prior mask -> 2nd..98th percentile bbox of the
     skin pixels -> square box grown by `margin` about its center (the
     paper's crop-with-margin); falls back to 'center' when fewer than 1%
-    of pixels are skin-like. mode 'center': fixed centered square of
-    min(H, W)/margin... i.e. the full short side shrunk by nothing —
-    centered short-side square (the standard fixed-box baseline).
+    of pixels are skin-like. mode 'center': the centered short-side
+    square — a fixed-box baseline with no face to expand, so `margin`
+    is ignored in this mode.
     """
     h, w = frame.shape[:2]
     if mode == "skin":
@@ -300,20 +322,42 @@ class RawVideoDataset(ClipDataset):
 def extract_frames(video_path: str, out_dir: str, every_n: int = 1,
                    size: int = 300, margin: float = 1.3,
                    crop_mode: str = "skin", limit: Optional[int] = None,
-                   use_native: Optional[bool] = None) -> int:
+                   use_native: Optional[bool] = None,
+                   redetect_every: int = 25,
+                   probe_size: int = 128) -> int:
     """Decode every `every_n`-th frame of one video, face-crop with
     margin, resize to `size`, save as JPEGs '0000.jpg'.. in out_dir
-    (the docs/DATA.md frame layout). Returns frames written."""
+    (the docs/DATA.md frame layout). Returns frames written.
+
+    The face is RE-LOCALIZED every `redetect_every` sampled frames (one
+    clip_face_crops-style stable box per chunk): a single whole-video box
+    would drift off a moving subject, while per-frame boxes would alias
+    crop jitter into the temporal signal the model reads."""
     from PIL import Image
 
     n, w, h, _ = probe(video_path)
-    if n <= 0:
-        return 0
     idxs = list(range(0, n, every_n))
     if limit:
         idxs = idxs[:limit]
-    crops = clip_face_crops(video_path, idxs, margin=margin, mode=crop_mode,
-                            use_native=use_native, src_hw=(h, w))
+    if not idxs:
+        return 0
+    if crop_mode == "none":
+        crops = np.tile(np.asarray((0, 0, h, w), np.int32),
+                        (len(idxs), 1))
+    else:
+        chunks = [idxs[i:i + redetect_every]
+                  for i in range(0, len(idxs), redetect_every)]
+        mids = [c[len(c) // 2] for c in chunks]
+        # one low-res decode pass serves every chunk's detector frame
+        small = decode_clip(video_path, mids, probe_size, mean=0.5,
+                            std=0.5, use_native=use_native)
+        sy, sx = h / probe_size, w / probe_size
+        boxes = []
+        for frame, chunk in zip(small, chunks):
+            by, bx, bh, bw = face_box(frame, margin=margin, mode=crop_mode)
+            box = (int(by * sy), int(bx * sx), int(bh * sy), int(bw * sx))
+            boxes += [box] * len(chunk)
+        crops = np.asarray(boxes, np.int32)
     # mean 0, std 1/255 -> raw [0, 255] pixel values
     frames = decode_clip(video_path, idxs, size, crops=crops, mean=0.0,
                          std=1.0 / 255.0, use_native=use_native)

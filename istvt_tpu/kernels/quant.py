@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EPS = 1e-5
+from istvt_tpu.kernels.linear import _ln, _row_tiles
 
 
 def quantize_weight(w) -> tuple:
@@ -48,13 +48,6 @@ def _quant_rows(yf):
     return q, rs
 
 
-def _ln(xf, scale, bias):
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    return xc * jax.lax.rsqrt(var + _EPS) * scale + bias
-
-
 def _q8_dot(q, wq):
     """int8 (R, D) x int8 (D, K) -> f32 (R, K) raw accumulator."""
     return jax.lax.dot_general(
@@ -70,14 +63,6 @@ def _ln_matmul_q8_kernel(x_ref, s_ref, b_ref, wq_ref, ws_ref, o_ref):
     acc = _q8_dot(q, wq_ref[...])
     o = acc * rs * ws_ref[...].astype(jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
-
-
-def _row_tiles(n: int, max_tile: int = 512):
-    for t in range(max_tile, 7, -8):
-        if n % t == 0:
-            return n, (n // t,), t
-    np_ = (n + max_tile - 1) // max_tile * max_tile
-    return np_, (np_ // max_tile,), max_tile
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -206,11 +206,11 @@ def dsttr_apply(
             # FF default: FULLY int8 (both GEMMs W8A8 with the GELU
             # hidden requantized in VMEM) — interleaved same-process A/B
             # on the chip: full 263.1 clips/s, mixed (bf16 fc2) 248.0,
-            # bf16 FF 231.9. ISTVT_Q8_FF=bf16|mixed keeps the slower
-            # variants reachable for experiments / accuracy studies.
-            import os as _os
+            # bf16 FF 231.9. cfg.q8_ff keeps the slower variants
+            # reachable for experiments / accuracy studies (a config
+            # field, not an env var, so it participates in jit caching).
             pf = layer["ff"]
-            ff_mode = _os.environ.get("ISTVT_Q8_FF", "full")
+            ff_mode = cfg.q8_ff
             if ff_mode == "mixed":
                 from istvt_tpu.kernels.quant import ln_ff_residual_q8
                 q = pf["q8"]

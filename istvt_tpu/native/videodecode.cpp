@@ -127,24 +127,31 @@ int video_decode_indices(const char* path, const int* indices, int n,
   int sws_w = -1, sws_h = -1;
   AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
 
-  int frame_no = 0, next = 0, filled = 0, draining = 0;
+  // Canonical send/receive pump: drain EVERY pending frame before the
+  // next packet (one packet can yield several frames under frame
+  // threading), and only feed a packet after receive returns EAGAIN —
+  // per the FFmpeg API contract send cannot then reject it, so no
+  // packet (and no frame-number alignment) is ever silently dropped.
+  int frame_no = 0, next = 0, filled = 0, eof_sent = 0;
   while (next < n) {
-    if (!draining) {
-      int rr = av_read_frame(r.fmt, pkt);
-      if (rr < 0) {
-        draining = 1;
-        avcodec_send_packet(r.dec, nullptr);  // flush
-      } else if (pkt->stream_index != r.stream) {
-        av_packet_unref(pkt);
-        continue;
-      } else {
-        avcodec_send_packet(r.dec, pkt);
-        av_packet_unref(pkt);
-      }
-    }
     int got = avcodec_receive_frame(r.dec, frame);
     if (got == AVERROR(EAGAIN)) {
-      if (draining) break;
+      if (eof_sent) break;
+      while (true) {
+        int rr = av_read_frame(r.fmt, pkt);
+        if (rr < 0) {
+          avcodec_send_packet(r.dec, nullptr);  // flush
+          eof_sent = 1;
+          break;
+        }
+        if (pkt->stream_index != r.stream) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        avcodec_send_packet(r.dec, pkt);
+        av_packet_unref(pkt);
+        break;
+      }
       continue;
     }
     if (got < 0) break;  // AVERROR_EOF or error

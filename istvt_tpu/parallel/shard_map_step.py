@@ -17,10 +17,8 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # jax < 0.8
-    from jax.experimental.shard_map import shard_map
+
+from istvt_tpu.parallel.tp import shard_map_compat
 
 from istvt_tpu.core.mesh import DATA_AXIS
 from istvt_tpu.train import losses, metrics
@@ -61,10 +59,9 @@ def make_shard_map_train_step(model, optimizer, mesh: Mesh,
 
     replicated = P()
     batch_spec = P(DATA_AXIS)
-    sharded = shard_map(
-        per_device_step, mesh=mesh,
+    sharded = shard_map_compat(
+        per_device_step, mesh,
         in_specs=(replicated, batch_spec, replicated),
         out_specs=(replicated, replicated),
-        check_vma=False,
     )
     return jax.jit(sharded)

@@ -42,6 +42,17 @@ except ImportError:  # jax < 0.8
 
 from istvt_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across the jax 0.8 API
+    rename (check_vma) and its predecessor (check_rep)."""
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # jax < 0.8 signature
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
 _STATE = threading.local()
 
 
@@ -111,11 +122,10 @@ def spatial_attention_sharded(qkv, heads: int, n_valid: int = -1):
         packed = xl.reshape(gl, s, 3 * h_local * dh)
         return spatial_attention_packed(packed, h_local, n_valid)
 
-    out = shard_map(
-        local_fn, mesh=mesh,
+    out = shard_map_compat(
+        local_fn, mesh,
         in_specs=(P(data_axis, None, None, model_axis, None),),
         out_specs=P(data_axis, None, model_axis),
-        check_vma=False,
     )(x)
     return out  # (G, S, I), model-sharded over the head-major last dim
 
@@ -141,10 +151,9 @@ def temporal_attention_sharded(qkv, heads: int):
         packed = xl.reshape(xl.shape[0], t1, s, 3 * h_local * dh)
         return temporal_attention_packed(packed, h_local)
 
-    out = shard_map(
-        local_fn, mesh=mesh,
+    out = shard_map_compat(
+        local_fn, mesh,
         in_specs=(P(data_axis, None, None, None, model_axis, None),),
         out_specs=P(data_axis, None, None, model_axis),
-        check_vma=False,
     )(x)
     return out

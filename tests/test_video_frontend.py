@@ -155,3 +155,44 @@ def test_crop_exactness_native(video_tree):
     a = decode_clip(path, [0], out_size=64, crops=crops, use_native=True)
     b = decode_clip(path, [0], out_size=64, crops=crops, use_native=False)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_decode_clip_unsorted_indices_align_crops(video_tree):
+    """Crops must follow their indices and output rows must come back in
+    the order given, even when indices arrive unsorted (review r2)."""
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    crops = np.asarray([[0, 0, 64, 64], [40, 80, 64, 64]], np.int32)
+    a = decode_clip(path, [20, 3], out_size=48, crops=crops)
+    b0 = decode_clip(path, [3], out_size=48,
+                     crops=crops[1:2])  # crop for index 3
+    b1 = decode_clip(path, [20], out_size=48, crops=crops[0:1])
+    np.testing.assert_allclose(a[0], b1[0], atol=1e-6)
+    np.testing.assert_allclose(a[1], b0[0], atol=1e-6)
+
+
+def test_extract_frames_redetects_moving_face(tmp_path):
+    """Per-chunk face re-localization must track a subject that moves
+    across the frame (review r2: one whole-video box drifts off-face)."""
+    import cv2 as _cv2
+    p = str(tmp_path / "move.mp4")
+    wtr = _cv2.VideoWriter(p, _cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                           (W, H))
+    n = 40
+    for t in range(n):
+        img = np.zeros((H, W, 3), np.uint8)
+        cx = 25 + int((W - 50) * t / (n - 1))   # sweeps left -> right
+        _cv2.ellipse(img, (cx, 60), (18, 24), 0, 0, 360, SKIN_BGR, -1)
+        wtr.write(img)
+    wtr.release()
+    out = tmp_path / "frames"
+    wrote = extract_frames(p, str(out), every_n=1, size=64,
+                           redetect_every=8)
+    assert wrote == n
+    # first and last frames must both contain substantial skin pixels
+    # (a single mid-video box would miss at least one end)
+    from PIL import Image
+    for name in ("0000.jpg", f"{n-1:04d}.jpg"):
+        img = np.asarray(Image.open(out / name).convert("RGB"), np.float32)
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        skin = (r > 150) & (g > 100) & (b > 80) & (r > b)
+        assert skin.mean() > 0.10, (name, skin.mean())
