@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the reference's manual lr rule "
                         "(train_CNN.py:209-211) instead of cosine")
     p.add_argument("--dataset_len", type=int, default=None)
+    p.add_argument("--depth", type=int, default=12,
+                   help="ST-transformer depth (12 = paper; lower for "
+                        "smoke runs)")
     p.add_argument("--use_native_decode", action="store_true",
                    help="C++ clip decoder fast path (pixels differ "
                         "slightly from PIL on downscale — opt-in)")
@@ -121,7 +124,8 @@ def main(argv=None):
     feat_hw = {300: 19, 299: 19, 256: 16, 224: 14, 75: 5, 72: 5}.get(
         args.input_size, max((args.input_size // 16), 2))
     cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
-                      feat_hw=feat_hw, dropout=args.dropout,
+                      feat_hw=feat_hw, depth=args.depth,
+                      dropout=args.dropout,
                       use_pallas=args.use_pallas, remat=args.remat)
     model = model_selection(args.model_name, num_out_classes=1,
                             dropout=args.dropout, cfg=cfg)

@@ -39,7 +39,14 @@ class ClipLoader:
 
     def __init__(self, dataset, batch_size: int = 16, shuffle: bool = True,
                  drop_last: bool = False, num_workers: int = 8,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0,
+                 host_count: int = 1, host_index: int = 0):
+        """batch_size is the GLOBAL batch. Under multi-host SPMD pass
+        host_count=jax.process_count(), host_index=jax.process_index():
+        every host derives the SAME global order from (seed, epoch) and
+        decodes only its batch_size/host_count slice of each batch —
+        the host-decode analog of the 'data'-axis sharding (and the v5e-8
+        aggregate decode budget is met by adding hosts, BASELINE.md)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +55,12 @@ class ClipLoader:
         self.prefetch = max(prefetch, 1)
         self.seed = seed
         self.epoch = 0
+        assert 0 <= host_index < host_count, (host_index, host_count)
+        if host_count > 1:
+            assert batch_size % host_count == 0, \
+                f"global batch {batch_size} not divisible by {host_count} hosts"
+        self.host_count = host_count
+        self.host_index = host_index
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -67,6 +80,14 @@ class ClipLoader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.host_count > 1:
+            # this host's contiguous slice of every global batch (partial
+            # final batches must be dropped or padded by the caller —
+            # a ragged final slice is not globally consistent)
+            per = self.batch_size // self.host_count
+            batches = [b[self.host_index * per:(self.host_index + 1) * per]
+                       for b in batches]
+            batches = [b for b in batches if b.size]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -124,7 +145,19 @@ def device_feed(loader, mesh=None, pad_to_batch: Optional[int] = None):
             arrays = {k: pad(v) for k, v in arrays.items()}
             arrays["valid"] = mask
         if mesh is not None:
-            arrays = shd.place(arrays, shd.batch_shardings(arrays, mesh))
+            if jax.process_count() > 1:
+                # multi-host: this host holds only its slice of the
+                # global batch; assemble the global sharded array from
+                # per-process local data (no cross-host gather)
+                shardings = shd.batch_shardings(arrays, mesh)
+                arrays = {
+                    k: jax.make_array_from_process_local_data(
+                        shardings[k], v)
+                    for k, v in arrays.items()
+                }
+            else:
+                arrays = shd.place(arrays,
+                                   shd.batch_shardings(arrays, mesh))
         else:
             arrays = jax.device_put(arrays)
         arrays.update(rest)

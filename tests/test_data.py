@@ -181,3 +181,36 @@ def test_collate_mixed_types():
     assert b["clips"].shape == (2, 2, 4, 4, 3)
     assert b["labels"].shape == (2,)
     assert b["paths"] == [["a", "b"], ["c", "d"]]
+
+
+def test_loader_multihost_slicing():
+    """Hosts derive the same global order and take disjoint contiguous
+    slices covering each global batch exactly (multi-host decode
+    sharding; every host decodes 1/host_count of the work)."""
+    from istvt_tpu.data import SyntheticVideoDataset
+    from istvt_tpu.data.loader import ClipLoader
+
+    ds = SyntheticVideoDataset(num_clips=24, seq_len=2, size=32, seed=0)
+    full = ClipLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                      seed=3)
+    parts = [ClipLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        seed=3, host_count=4, host_index=h)
+             for h in range(4)]
+    gb = full._index_batches()
+    hb = [p._index_batches() for p in parts]
+    assert all(len(b) == len(gb) for b in hb)
+    for i, g in enumerate(gb):
+        got = np.concatenate([hb[h][i] for h in range(4)])
+        np.testing.assert_array_equal(got, g)      # exact disjoint cover
+        assert all(hb[h][i].size == 2 for h in range(4))
+
+
+def test_loader_multihost_batch_shapes():
+    from istvt_tpu.data import SyntheticVideoDataset
+    from istvt_tpu.data.loader import ClipLoader
+
+    ds = SyntheticVideoDataset(num_clips=16, seq_len=2, size=32, seed=0)
+    loader = ClipLoader(ds, batch_size=8, shuffle=False, drop_last=True,
+                        host_count=2, host_index=1, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["clips"].shape[0] == 4   # local slice of the global 8
