@@ -26,6 +26,9 @@ def build_parser():
                    help="orbax checkpoint dir (latest step restored)")
     p.add_argument("--out", default="scores.jsonl")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 serving path for the ST-layer GEMMs "
+                        "(TPU; models.istvt.quantize_params)")
     p.add_argument("--acer", action="store_true")
     p.add_argument("--max_clips", type=int, default=None)
     return p
@@ -51,7 +54,8 @@ def main(argv=None):
     feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
         args.input_size, max(args.input_size // 16, 2))
     cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
-                      feat_hw=feat_hw, use_pallas=platform == "tpu")
+                      feat_hw=feat_hw, use_pallas=platform == "tpu",
+                      quantize="int8" if args.int8 else "none")
     model = model_selection(args.model_name, num_out_classes=1, cfg=cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     if args.checkpoint_dir:
@@ -81,9 +85,16 @@ def main(argv=None):
                              seq_len=args.seq_len, return_fake_type=True,
                              dataset_len=args.max_clips)
 
+    if args.int8 and args.model_name == "istvt":
+        from istvt_tpu.models import istvt as _istvt
+        if args.bf16:
+            from istvt_tpu.core import tree as _tree
+            params = _tree.cast(params, jnp.bfloat16)
+        params = _istvt.quantize_params(params)
     predictor = Predictor(model, params, state,
                           batch_sizes=(args.batch_size,),
-                          compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                          compute_dtype=None if args.int8 else
+                          (jnp.bfloat16 if args.bf16 else None))
     loader = ClipLoader(ds, batch_size=args.batch_size, shuffle=False)
     all_logits, all_labels = [], []
     with open(args.out, "w") as f:

@@ -29,3 +29,32 @@ def test_predictor_bucket_padding_consistency():
                                   (out["logits"] > 0).astype(np.int32))
     np.testing.assert_allclose(out["probs"],
                                1 / (1 + np.exp(-out["logits"])), atol=1e-6)
+
+
+def test_predictor_int8_istvt():
+    """Predictor over the quantized ISTVT serving path (interpret on
+    CPU): predictions track the float path; score CLI --int8 wiring."""
+    import jax.numpy as jnp
+    from istvt_tpu.core.config import ISTVTConfig
+    from istvt_tpu.models import istvt
+    from istvt_tpu.models.registry import model_selection
+    from istvt_tpu.serve import Predictor
+
+    tiny = dict(num_frames=2, image_size=72, feat_hw=5, depth=1,
+                num_classes=1)
+    cfg_f = ISTVTConfig(**tiny, use_pallas=True)
+    cfg_q = ISTVTConfig(**tiny, use_pallas=True, quantize="int8")
+    model_f = model_selection("istvt", num_out_classes=1, cfg=cfg_f)
+    model_q = model_selection("istvt", num_out_classes=1, cfg=cfg_q)
+    params, state = model_f.init(jax.random.PRNGKey(0))
+    qparams = istvt.quantize_params(params)
+
+    clips = np.random.RandomState(0).randn(3, 2, 72, 72, 3).astype(
+        np.float32) * 0.5
+    out_f = Predictor(model_f, params, state,
+                      batch_sizes=(4,)).predict(clips)
+    out_q = Predictor(model_q, qparams, state,
+                      batch_sizes=(4,)).predict(clips)
+    assert out_q["logits"].shape == (3,)
+    np.testing.assert_allclose(out_q["logits"], out_f["logits"],
+                               atol=0.05, rtol=0.05)

@@ -211,3 +211,52 @@ def test_ln_ff_bwd_tpu():
     refs = vjp(g)
     for got, want in zip(outs, refs):
         _assert_close_bf16(got, want, rel_l2=2e-2, max_frac=0.04)
+
+
+@requires_tpu
+def test_ln_matmul_q8_tpu():
+    from istvt_tpu.kernels.quant import ln_matmul_q8, quantize_weight
+    from istvt_tpu.kernels.linear import _ln_matmul_reference
+    x = _rand(40, (B * T1 * S, 728))
+    s = _rand(41, (728,), jnp.float32) * 0.1 + 1.0
+    b = _rand(42, (728,), jnp.float32) * 0.1
+    w = (_rand(43, (728, 1536), jnp.float32) * 0.05)
+    wq, ws = quantize_weight(w)
+    got = ln_matmul_q8(x, s, b, wq, ws)
+    want = _ln_matmul_reference(x, s, b, w.astype(jnp.bfloat16))
+    _assert_close_bf16(got, want, rel_l2=2e-2, max_frac=0.05)
+
+
+@requires_tpu
+def test_ln_ff_q8_full_tpu():
+    from istvt_tpu.kernels.quant import (ln_ff_residual_q8_full,
+                                         quantize_weight)
+    from istvt_tpu.kernels.mlp import _ln_ff_res_reference
+    x = _rand(44, (B * T1 * S, 728))
+    s = _rand(45, (728,), jnp.float32) * 0.1 + 1.0
+    bn = _rand(46, (728,), jnp.float32) * 0.1
+    w1 = _rand(47, (728, 2912), jnp.float32) * 0.05
+    b1 = _rand(48, (2912,), jnp.float32) * 0.1
+    w2 = _rand(49, (2912, 728), jnp.float32) * 0.05
+    b2 = _rand(50, (728,), jnp.float32) * 0.1
+    w1q, w1s = quantize_weight(w1)
+    w2q, w2s = quantize_weight(w2)
+    got = ln_ff_residual_q8_full(x, s, bn, w1q, w1s, b1, w2q, w2s, b2)
+    want = _ln_ff_res_reference(x, s, bn, w1.astype(jnp.bfloat16), b1,
+                                w2.astype(jnp.bfloat16), b2)
+    _assert_close_bf16(got, want, rel_l2=3e-2, max_frac=0.08)
+
+
+@requires_tpu
+def test_matmul_q8_bias_residual_tpu():
+    from istvt_tpu.kernels.quant import (matmul_q8_bias_residual,
+                                         quantize_weight)
+    x = _rand(51, (B * T1 * S, INNER))
+    w = _rand(52, (INNER, 728), jnp.float32) * 0.05
+    b = _rand(53, (728,), jnp.float32) * 0.1
+    r = _rand(54, (B * T1 * S, 728))
+    wq, ws = quantize_weight(w)
+    got = matmul_q8_bias_residual(x, wq, ws, b, r)
+    want = (jnp.dot(x.astype(jnp.float32), w) + b
+            + r.astype(jnp.float32)).astype(jnp.bfloat16)
+    _assert_close_bf16(got, want, rel_l2=2e-2, max_frac=0.05)
