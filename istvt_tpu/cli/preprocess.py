@@ -69,23 +69,33 @@ def main(argv=None) -> int:
             parts.append(entry["quality"])
         parts += [method, vid]
         out_dir = os.path.join(*parts)
-        n = extract_frames(entry["path"], out_dir, every_n=args.every_n,
-                           size=args.size, margin=args.margin,
-                           crop_mode=args.crop_mode,
-                           limit=args.limit_frames,
-                           use_native=args.use_native,
-                           redetect_every=args.redetect_every)
-        return entry["path"], n
+        try:
+            n = extract_frames(entry["path"], out_dir,
+                               every_n=args.every_n,
+                               size=args.size, margin=args.margin,
+                               crop_mode=args.crop_mode,
+                               limit=args.limit_frames,
+                               use_native=args.use_native,
+                               redetect_every=args.redetect_every)
+        except Exception as e:  # one broken video must not kill the run
+            return entry["path"], None, f"{type(e).__name__}: {e}"
+        return entry["path"], n, None
 
     t0 = time.time()
-    total = 0
+    total, failed = 0, 0
     with ThreadPoolExecutor(max_workers=args.workers) as pool:
-        for path, n in pool.map(job, entries):
+        for path, n, err in pool.map(job, entries):
+            if err is not None:
+                failed += 1
+                print(f"{path}: SKIPPED ({err})", file=sys.stderr)
+                continue
             total += n
             print(f"{path}: {n} frames")
     dt = time.time() - t0
-    print(f"done: {len(entries)} videos, {total} frames in {dt:.1f}s "
-          f"({total / max(dt, 1e-9):.0f} frames/s)")
+    print(f"done: {len(entries) - failed}/{len(entries)} videos, "
+          f"{total} frames in {dt:.1f}s "
+          f"({total / max(dt, 1e-9):.0f} frames/s)"
+          + (f"; {failed} failed" if failed else ""))
     return 0
 
 

@@ -86,15 +86,18 @@ def main(argv=None):
                              dataset_len=args.max_clips)
 
     if args.int8 and args.model_name == "istvt":
+        # match the deployed serving config (bench.py): bf16 weights ->
+        # per-channel int8 + f32 scales; Predictor casts inputs to bf16
+        from istvt_tpu.core import tree as _tree
         from istvt_tpu.models import istvt as _istvt
-        if args.bf16:
-            from istvt_tpu.core import tree as _tree
-            params = _tree.cast(params, jnp.bfloat16)
+        params = _tree.cast(params, jnp.bfloat16)
         params = _istvt.quantize_params(params)
+        compute_dtype = jnp.bfloat16
+    else:
+        compute_dtype = jnp.bfloat16 if args.bf16 else None
     predictor = Predictor(model, params, state,
                           batch_sizes=(args.batch_size,),
-                          compute_dtype=None if args.int8 else
-                          (jnp.bfloat16 if args.bf16 else None))
+                          compute_dtype=compute_dtype)
     loader = ClipLoader(ds, batch_size=args.batch_size, shuffle=False)
     all_logits, all_labels = [], []
     with open(args.out, "w") as f:

@@ -59,6 +59,13 @@ class ClipLoader:
         if host_count > 1:
             assert batch_size % host_count == 0, \
                 f"global batch {batch_size} not divisible by {host_count} hosts"
+            # ragged final batches are NOT multi-host safe: hosts would
+            # hold unequal slices (desynced collectives / uneven
+            # process-local assembly) — require full batches up front
+            assert drop_last or len(dataset) % batch_size == 0, (
+                "multi-host ClipLoader requires drop_last=True or a "
+                f"dataset length divisible by the global batch "
+                f"({len(dataset)} % {batch_size} != 0)")
         self.host_count = host_count
         self.host_index = host_index
 
@@ -81,13 +88,12 @@ class ClipLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
         if self.host_count > 1:
-            # this host's contiguous slice of every global batch (partial
-            # final batches must be dropped or padded by the caller —
-            # a ragged final slice is not globally consistent)
+            # this host's contiguous slice of every (full, per the
+            # __init__ contract) global batch — same batch COUNT on
+            # every host, so the SPMD loop stays in lockstep
             per = self.batch_size // self.host_count
             batches = [b[self.host_index * per:(self.host_index + 1) * per]
                        for b in batches]
-            batches = [b for b in batches if b.size]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -146,9 +152,15 @@ def device_feed(loader, mesh=None, pad_to_batch: Optional[int] = None):
             arrays["valid"] = mask
         if mesh is not None:
             if jax.process_count() > 1:
-                # multi-host: this host holds only its slice of the
-                # global batch; assemble the global sharded array from
-                # per-process local data (no cross-host gather)
+                # multi-host: each host must hold only ITS slice of the
+                # global batch — require a host-sliced loader (feeding
+                # full batches here would silently duplicate data into a
+                # process_count-times-larger global batch)
+                if getattr(loader, "host_count", 1) != jax.process_count():
+                    raise ValueError(
+                        "multi-process mesh needs a host-sliced loader: "
+                        "ClipLoader(..., host_count=jax.process_count(), "
+                        "host_index=jax.process_index())")
                 shardings = shd.batch_shardings(arrays, mesh)
                 arrays = {
                     k: jax.make_array_from_process_local_data(

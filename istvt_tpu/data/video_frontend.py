@@ -58,6 +58,11 @@ def probe(path: str) -> Tuple[int, int, int, float]:
         n, w, h, fps = native.video_probe(path)
         if n > 0:
             return n, w, h, fps
+        if not _HAS_CV2:
+            # metadata absent, no cv2: exact native decode-and-count
+            n = native.video_count_frames(path)
+            if n > 0:
+                return n, w, h, fps
     if _HAS_CV2:
         cap = cv2.VideoCapture(path)
         try:
@@ -181,6 +186,23 @@ def face_box(frame: np.ndarray, margin: float = 1.3,
     return (h - side) // 2, (w - side) // 2, side, side
 
 
+def _detect_box(path: str, frame_idx: int, src_hw: Tuple[int, int],
+                margin: float, mode: str, probe_size: int,
+                use_native: Optional[bool],
+                small: Optional[np.ndarray] = None
+                ) -> Tuple[int, int, int, int]:
+    """One face box in source pixels from a low-res decode of one frame
+    (shared by clip_face_crops and extract_frames so the online and
+    offline crop paths stay numerically identical)."""
+    h, w = src_hw
+    if small is None:
+        small = decode_clip(path, [frame_idx], probe_size, mean=0.5,
+                            std=0.5, use_native=use_native)[0]
+    by, bx, bh, bw = face_box(small, margin=margin, mode=mode)
+    sy, sx = h / probe_size, w / probe_size
+    return int(by * sy), int(bx * sx), int(bh * sy), int(bw * sx)
+
+
 def clip_face_crops(path: str, indices: Sequence[int], margin: float = 1.3,
                     mode: str = "skin", probe_size: int = 128,
                     use_native: Optional[bool] = None,
@@ -200,12 +222,8 @@ def clip_face_crops(path: str, indices: Sequence[int], margin: float = 1.3,
     if mode == "none":
         box = (0, 0, h, w)
     else:
-        small = decode_clip(path, [mid], probe_size, mean=0.5, std=0.5,
-                            use_native=use_native)[0]
-        by, bx, bh, bw = face_box(small, margin=margin, mode=mode)
-        # scale detector coords back to source pixels
-        sy, sx = h / probe_size, w / probe_size
-        box = (int(by * sy), int(bx * sx), int(bh * sy), int(bw * sx))
+        box = _detect_box(path, mid, (h, w), margin, mode, probe_size,
+                          use_native)
     return np.tile(np.asarray(box, np.int32), (len(idx), 1))
 
 
@@ -351,11 +369,10 @@ def extract_frames(video_path: str, out_dir: str, every_n: int = 1,
         # one low-res decode pass serves every chunk's detector frame
         small = decode_clip(video_path, mids, probe_size, mean=0.5,
                             std=0.5, use_native=use_native)
-        sy, sx = h / probe_size, w / probe_size
         boxes = []
-        for frame, chunk in zip(small, chunks):
-            by, bx, bh, bw = face_box(frame, margin=margin, mode=crop_mode)
-            box = (int(by * sy), int(bx * sx), int(bh * sy), int(bw * sx))
+        for frame, chunk, mid in zip(small, chunks, mids):
+            box = _detect_box(video_path, mid, (h, w), margin, crop_mode,
+                              probe_size, use_native, small=frame)
             boxes += [box] * len(chunk)
         crops = np.asarray(boxes, np.int32)
     # mean 0, std 1/255 -> raw [0, 255] pixel values

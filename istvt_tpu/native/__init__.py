@@ -98,6 +98,8 @@ def _load_video() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), c_int_p,
         ]
         lib.video_decode_indices.restype = ctypes.c_int
+        lib.video_count_frames.argtypes = [ctypes.c_char_p]
+        lib.video_count_frames.restype = ctypes.c_int
         _VLIB = lib
     except OSError:
         _VLIB = None
@@ -183,3 +185,12 @@ def decode_frames(paths: List[str], out_size: int, mean: float = 0.5,
         import warnings
         warnings.warn(f"clipdecode: {n - ok}/{n} frames failed to decode")
     return out
+
+
+def video_count_frames(path: str) -> int:
+    """Exact frame count by full native decode (fallback for containers
+    without frame-count metadata). -1 when the file cannot be opened."""
+    lib = _load_video()
+    if lib is None:
+        raise RuntimeError("native videodecode unavailable (build failed)")
+    return lib.video_count_frames(path.encode())

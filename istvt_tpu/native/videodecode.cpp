@@ -108,6 +108,44 @@ int video_probe(const char* path, int* n_frames, int* w, int* h,
   return 0;
 }
 
+int video_count_frames(const char* path) {
+  // Exact frame count by decoding the whole stream (for containers whose
+  // metadata carries neither nb_frames nor a usable duration).
+  Reader r;
+  if (r.open(path) < 0) return -1;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int count = 0, eof_sent = 0;
+  while (true) {
+    int got = avcodec_receive_frame(r.dec, frame);
+    if (got == AVERROR(EAGAIN)) {
+      if (eof_sent) break;
+      while (true) {
+        int rr = av_read_frame(r.fmt, pkt);
+        if (rr < 0) {
+          avcodec_send_packet(r.dec, nullptr);
+          eof_sent = 1;
+          break;
+        }
+        if (pkt->stream_index != r.stream) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        avcodec_send_packet(r.dec, pkt);
+        av_packet_unref(pkt);
+        break;
+      }
+      continue;
+    }
+    if (got < 0) break;
+    count++;
+    av_frame_unref(frame);
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return count;
+}
+
 int video_decode_indices(const char* path, const int* indices, int n,
                          const int* crops, int out_size, float mean,
                          float std_, float* out, int* /*ret_indices*/) {

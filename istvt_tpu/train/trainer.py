@@ -75,7 +75,10 @@ def evaluate(model, params, model_state, loader, mesh=None,
     # Pad partial final batches to the full batch size so every batch is
     # shardable over the 'data' axis (and compiles to one shape); padded
     # rows are dropped host-side via the 'valid' mask before metrics.
-    feed = device_feed(loader, mesh, pad_to_batch=loader.batch_size) \
+    # Under a host-sliced loader each host pads its LOCAL slice (the
+    # loader contract guarantees equal slices across hosts).
+    local_bs = loader.batch_size // getattr(loader, "host_count", 1)
+    feed = device_feed(loader, mesh, pad_to_batch=local_bs) \
         if mesh is not None else iter(loader)
     for batch in feed:
         out = eval_fn(params, model_state,
