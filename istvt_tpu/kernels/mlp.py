@@ -69,6 +69,30 @@ def _fused_ff_impl(x, w1, b1, w2, b2, interpret: bool = False):
     return out[:n]
 
 
+def _ln_ff_res_h1_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, o_ref, h1_ref):
+    """Training forward: same as _ln_ff_res_kernel but ALSO writes the
+    pre-GELU hidden h1 to HBM (bf16) so the backward skips the fc1
+    recompute GEMM — the classic save-vs-recompute trade taken the other
+    way (one (N, 4D) bf16 stash ≈ 0.2 ms of HBM vs a ~1 ms/layer MXU
+    recompute at B=16)."""
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + 1e-5)
+         * s_ref[...].astype(jnp.float32)
+         + bn_ref[...].astype(jnp.float32)).astype(x.dtype)
+    h1 = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32)
+    h1 = h1 + b1_ref[...].astype(jnp.float32)
+    h1_ref[...] = h1.astype(h1_ref.dtype)
+    h = jax.nn.gelu(h1, approximate=True).astype(x.dtype)
+    o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    o = o + b2_ref[...].astype(jnp.float32) + xf
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
 def _ln_ff_res_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       o_ref):
     """x + fc2(gelu(fc1(LN(x)))) on one token tile — the whole PreNorm-FF
@@ -129,6 +153,52 @@ def _ln_ff_res_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
     return out[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ln_ff_res_h1_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
+    from istvt_tpu.kernels.linear import _row_tiles
+    n, d = x.shape
+    dh = w1.shape[1]
+    np_, grid, tile = _row_tiles(n)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out, h1 = pl.pallas_call(
+        _ln_ff_res_h1_kernel,
+        out_shape=(jax.ShapeDtypeStruct((np_, d), x.dtype),
+                   jax.ShapeDtypeStruct((np_, dh), x.dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec(s), vec(bn),
+            pl.BlockSpec((d, dh), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(b1),
+            pl.BlockSpec((dh, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(b2),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, dh), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * np_ * d * dh,
+            bytes_accessed=(2 * np_ * d + np_ * dh + d * dh * 2)
+            * x.dtype.itemsize,
+            transcendentals=np_ * (dh + 1),
+        ),
+    )(x, s.reshape(1, -1), bn.reshape(1, -1), w1, b1.reshape(1, -1),
+      w2, b2.reshape(1, -1))
+    return out[:n], h1[:n]
+
+
 def _ln_ff_res_reference(x, s, bn, w1, b1, w2, b2):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -165,8 +235,19 @@ def ln_ff_residual(x, s, bn, w1, b1, w2, b2):
 
 
 def _ln_ff_res_fwd(x, s, bn, w1, b1, w2, b2):
+    if jax.default_backend() == "tpu":
+        # differentiated forward: stash the pre-GELU hidden so the
+        # backward kernel skips the fc1 recompute GEMM (5 -> 4 GEMMs)
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        out, h1 = _ln_ff_res_h1_impl(
+            flat, s.astype(x.dtype), bn.astype(x.dtype),
+            w1.astype(x.dtype), b1.astype(x.dtype), w2.astype(x.dtype),
+            b2.astype(x.dtype))
+        return out.reshape(*lead, x.shape[-1]), \
+            (x, s, bn, w1, b1, w2, b2, h1)
     return ln_ff_residual(x, s, bn, w1, b1, w2, b2), \
-        (x, s, bn, w1, b1, w2, b2)
+        (x, s, bn, w1, b1, w2, b2, None)
 
 
 _GC = 0.7978845608028654   # sqrt(2/pi)
@@ -183,13 +264,14 @@ def _gelu_tanh_and_grad(h):
     return val, dval
 
 
-def _ln_ff_bwd_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref, g_ref,
+def _ln_ff_bwd_kernel(x_ref, s_ref, bn_ref, w1_ref, h1_ref, w2_ref, g_ref,
                       dx_ref, ds_ref, dbn_ref, dw1_ref, db1_ref, dw2_ref,
                       db2_ref):
     """Fused backward of the PreNorm-FF residual branch on one token
-    tile: recomputes LN/fc1/GELU in VMEM (flash-style — nothing spilled
-    by the forward), runs the four backward GEMMs on the MXU, and
-    accumulates all weight/affine grads f32 across the grid."""
+    tile: the forward stashed the pre-GELU hidden h1 (no fc1 recompute
+    GEMM), the LN is recomputed in VMEM (cheap VPU), the four backward
+    GEMMs run on the MXU, and all weight/affine grads accumulate f32
+    across the grid."""
     from istvt_tpu.kernels.linear import _ln_bwd_rows, _ln_stats
     i = pl.program_id(0)
 
@@ -207,8 +289,7 @@ def _ln_ff_bwd_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref, g_ref,
     s = s_ref[...].astype(jnp.float32)
     xhat, rstd = _ln_stats(x.astype(jnp.float32))
     y = (xhat * s + bn_ref[...].astype(jnp.float32)).astype(x.dtype)
-    h1 = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32) \
-        + b1_ref[...].astype(jnp.float32)
+    h1 = h1_ref[...].astype(jnp.float32)
     hg, dgelu = _gelu_tanh_and_grad(h1)
     hgb = hg.astype(x.dtype)
 
@@ -233,7 +314,7 @@ def _ln_ff_bwd_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref, g_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _ln_ff_bwd_impl(x, s, bn, w1, b1, w2, g, interpret: bool = False):
+def _ln_ff_bwd_impl(x, s, bn, w1, h1, w2, g, interpret: bool = False):
     from istvt_tpu.kernels.linear import _row_tiles
     n, d = x.shape
     dh = w1.shape[1]
@@ -244,9 +325,12 @@ def _ln_ff_bwd_impl(x, s, bn, w1, b1, w2, g, interpret: bool = False):
     if np_ != n:
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
         g = jnp.pad(g, ((0, np_ - n), (0, 0)))
+        h1 = jnp.pad(h1, ((0, np_ - n), (0, 0)))
     vd = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     vh = pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM)
     tok = pl.BlockSpec((tile, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    hid = pl.BlockSpec((tile, dh), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _ln_ff_bwd_kernel,
@@ -264,7 +348,7 @@ def _ln_ff_bwd_impl(x, s, bn, w1, b1, w2, g, interpret: bool = False):
             tok, vd, vd,
             pl.BlockSpec((d, dh), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            vh,
+            hid,
             pl.BlockSpec((dh, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             tok,
@@ -282,32 +366,31 @@ def _ln_ff_bwd_impl(x, s, bn, w1, b1, w2, g, interpret: bool = False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * np_ * d * dh,
-            bytes_accessed=(3 * np_ * d + 4 * d * dh) * x.dtype.itemsize,
+            flops=5 * 2 * np_ * d * dh,
+            bytes_accessed=(3 * np_ * d + np_ * dh + 4 * d * dh)
+            * x.dtype.itemsize,
             transcendentals=2 * np_ * dh,
         ),
-    )(x, s.reshape(1, -1), bn.reshape(1, -1), w1, b1.reshape(1, -1),
-      w2, g)
+    )(x, s.reshape(1, -1), bn.reshape(1, -1), w1, h1, w2, g)
     dx, ds, dbn, dw1, db1, dw2, db2 = outs
     return (dx[:n], ds.reshape(-1), dbn.reshape(-1), dw1,
             db1.reshape(-1), dw2, db2.reshape(-1))
 
 
 def _ln_ff_res_bwd(res, g):
-    x, s, bn, w1, b1, w2, b2 = res
+    x, s, bn, w1, b1, w2, b2, h1 = res
     if jax.default_backend() == "tpu":
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
         gf = g.reshape(-1, g.shape[-1])
         dx, ds, dbn, dw1, db1, dw2, db2 = _ln_ff_bwd_impl(
             flat, s.astype(x.dtype), bn.astype(x.dtype),
-            w1.astype(x.dtype), b1.astype(x.dtype), w2.astype(x.dtype),
-            gf)
+            w1.astype(x.dtype), h1, w2.astype(x.dtype), gf)
         return (dx.reshape(x.shape), ds.astype(s.dtype),
                 dbn.astype(bn.dtype), dw1.astype(w1.dtype),
                 db1.astype(b1.dtype), dw2.astype(w2.dtype),
                 db2.astype(b2.dtype))
-    _, vjp = jax.vjp(_ln_ff_res_reference, *res)
+    _, vjp = jax.vjp(_ln_ff_res_reference, x, s, bn, w1, b1, w2, b2)
     return vjp(g)
 
 

@@ -341,8 +341,12 @@ def test_ln_ff_bwd_kernel_matches_vjp():
     b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
     g = jnp.asarray(rng.randn(n, d).astype(np.float32))
 
+    # forward stash: h1 = fc1(LN(x)) + b1 (what the fwd kernel writes)
+    xn = (x - x.mean(-1, keepdims=True)) * jax.lax.rsqrt(
+        x.var(-1, keepdims=True) + 1e-5) * s + bn
+    h1 = jnp.dot(xn, w1) + b1
     dx, ds, dbn, dw1, db1, dw2, db2 = _ln_ff_bwd_impl(
-        x, s, bn, w1, b1, w2, g, interpret=True)
+        x, s, bn, w1, h1, w2, g, interpret=True)
     _, vjp = jax.vjp(_ln_ff_res_reference, x, s, bn, w1, b1, w2, b2)
     refs = vjp(g)
     for got, want in zip((dx, ds, dbn, dw1, db1, dw2, db2), refs):
@@ -464,3 +468,50 @@ def test_sepconv_bn_gradient():
         _sepconv_bn_reference(u, dw, pw, a, b, True) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_ln_ff_h1_forward_matches():
+    """The h1-stashing training forward equals the plain fused forward
+    and its stash equals fc1(LN(x)) + b1."""
+    from istvt_tpu.kernels.mlp import (_ln_ff_res_h1_impl,
+                                       _ln_ff_res_reference)
+
+    rng = np.random.RandomState(4)
+    n, d, h = 40, 64, 128
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    s = jnp.asarray(rng.rand(d).astype(np.float32) + 0.5)
+    bn = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(d, h).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(h, d).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    out, h1 = _ln_ff_res_h1_impl(x, s, bn, w1, b1, w2, b2,
+                                 interpret=True)
+    want = _ln_ff_res_reference(x, s, bn, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    xn = (x - x.mean(-1, keepdims=True)) * jax.lax.rsqrt(
+        x.var(-1, keepdims=True) + 1e-5) * s + bn
+    np.testing.assert_allclose(np.asarray(h1),
+                               np.asarray(jnp.dot(xn, w1) + b1),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ln_ff_residual_grad_end_to_end():
+    """jax.grad through the public ln_ff_residual custom_vjp (CPU path)
+    matches the reference — the vjp rewiring must stay differentiable."""
+    from istvt_tpu.kernels.mlp import ln_ff_residual, _ln_ff_res_reference
+
+    rng = np.random.RandomState(5)
+    n, d, h = 24, 32, 64
+    args = [jnp.asarray(a.astype(np.float32)) for a in (
+        rng.randn(n, d), rng.rand(d) + 0.5, rng.randn(d) * 0.1,
+        rng.randn(d, h) * 0.1, rng.randn(h) * 0.1,
+        rng.randn(h, d) * 0.1, rng.randn(d) * 0.1)]
+    g_ker = jax.grad(lambda *a: jnp.sum(ln_ff_residual(*a) ** 2),
+                     argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(lambda *a: jnp.sum(_ln_ff_res_reference(*a) ** 2),
+                     argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_ker, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)

@@ -205,8 +205,15 @@ def test_ln_ff_bwd_tpu():
     w2 = _rand(37, (2912, 728)) * jnp.bfloat16(0.05)
     b2 = _rand(38, (728,), jnp.float32) * 0.1
     g = _rand(39, (B * T1 * S, 728))
-    outs = _ln_ff_bwd_impl(x, s, bn, w1.astype(x.dtype),
-                           b1.astype(x.dtype), w2.astype(x.dtype), g)
+    xn = ((x.astype(jnp.float32)
+           - x.astype(jnp.float32).mean(-1, keepdims=True))
+          * jax.lax.rsqrt(x.astype(jnp.float32).var(-1, keepdims=True)
+                          + 1e-5) * s + bn).astype(x.dtype)
+    h1 = (jnp.dot(xn, w1.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+          + b1).astype(x.dtype)
+    outs = _ln_ff_bwd_impl(x, s, bn, w1.astype(x.dtype), h1,
+                           w2.astype(x.dtype), g)
     _, vjp = jax.vjp(_ln_ff_res_reference, x, s, bn, w1, b1, w2, b2)
     refs = vjp(g)
     for got, want in zip(outs, refs):
