@@ -8,7 +8,7 @@ consumed by train / eval / visualize / bench alike.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,7 +30,9 @@ class ISTVTConfig:
     mlp_ratio: int = 4             # scale_dim (reference vivit.py:122)
     num_classes: int = 1           # single BCE logit (train_CNN.py:148)
     dropout: float = 0.0
-    emb_dropout: float = 0.0
+    # NOTE no emb_dropout: the reference DSTTr constructs
+    # nn.Dropout(emb_dropout) but never applies it in forward
+    # (vivit.py:124 vs :130-147) — a dead knob not mirrored here.
     # compute knobs (not in reference; TPU-first additions)
     use_pallas: bool = False       # fused Pallas attention kernels
     quantize: str = "none"         # 'int8': W8A8 ST-layer GEMMs for
@@ -41,8 +43,9 @@ class ISTVTConfig:
                                    # (int8 fc1 only, 248) | 'bf16' (232)
     remat: bool = False            # jax.checkpoint each ST layer (trades
                                    # recompute FLOPs for activation memory)
-    param_dtype: str = "float32"
-    compute_dtype: str = "float32"  # set "bfloat16" for the fast path
+    # (compute/param dtype live on TrainConfig.compute_dtype — the model
+    # itself is dtype-polymorphic: it computes in whatever dtype the
+    # params/inputs arrive in)
 
     @property
     def tokens_per_frame(self) -> int:
@@ -65,18 +68,19 @@ class MeshConfig:
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
     """Host-side clip pipeline settings (reconstructing the external
-    `dataset` package's call-site API, reference train_CNN.py:162-177)."""
+    `dataset` package's call-site API, reference train_CNN.py:162-177).
+    Normalization (mean/std 0.5, reference xception.py:12-14) lives on
+    `data.transforms.Transform`; per-loader knobs (mode, workers) on the
+    dataset/loader constructors — this record carries the run-level
+    choices the Trainer reads (dataset family, quality, geometry)."""
 
     root: str = ""
     quality: str = "hq"             # 'hq' | 'lq'
     seq_len: int = 6
     input_size: int = 300
     batch_size: int = 16
-    num_workers: int = 8
-    mode: str = "Train"             # 'Train' | 'Test' | 'Vis'
-    normalize_mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
-    normalize_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
-    dataset: str = "ff++"           # 'ff++' | 'celeb' | 'oulu' | 'synthetic'
+    dataset: str = "ff++"           # 'ff++' | 'celeb' | 'oulu' |
+                                    # 'synthetic' | 'ff++video'
     dataset_len: Optional[int] = None
 
 
