@@ -235,3 +235,29 @@ def test_tp_pallas_train_step_matches_single_device():
     _, m_p = step_p(ts_sh, sbatch, rng)
     assert abs(float(m_x["loss"]) - float(m_p["loss"])) < 1e-4
     assert abs(float(m_x["accuracy"]) - float(m_p["accuracy"])) < 1e-6
+
+
+def test_tp_pallas_eval_step():
+    """make_eval_step(mesh=...) must run the Pallas path under a model>1
+    mesh (the eval analog of the TP train test)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg_p = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=1,
+                        num_classes=1, use_pallas=True)
+    model_p = model_selection("istvt", num_out_classes=1, cfg=cfg_p)
+    model_x = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, mstate = model_x.init(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    base = train_step.make_eval_step(model_x)(params, mstate, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shd.place(params, shd.param_shardings(params, mesh))
+    s_sh = shd.place(mstate, shd.replicated_shardings(mstate, mesh))
+    b_sh = shd.place(batch, shd.batch_shardings(batch, mesh))
+    out = train_step.make_eval_step(model_p, mesh=mesh)(p_sh, s_sh, b_sh)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(base["logits"]),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out["correct"]),
+                                  np.asarray(base["correct"]))
