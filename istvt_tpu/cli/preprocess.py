@@ -96,7 +96,9 @@ def main(argv=None) -> int:
           f"{total} frames in {dt:.1f}s "
           f"({total / max(dt, 1e-9):.0f} frames/s)"
           + (f"; {failed} failed" if failed else ""))
-    return 0
+    # partial success exits 0 (big corpora always have a few broken
+    # files); TOTAL failure must not look like success to a pipeline
+    return 1 if failed == len(entries) else 0
 
 
 if __name__ == "__main__":

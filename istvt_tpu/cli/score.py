@@ -85,19 +85,23 @@ def main(argv=None):
                              seq_len=args.seq_len, return_fake_type=True,
                              dataset_len=args.max_clips)
 
+    compute_dtype = input_dtype = None
     if args.int8 and args.model_name == "istvt":
         # match the deployed serving config (bench.py): bf16 weights ->
-        # per-channel int8 + f32 scales; Predictor casts inputs to bf16
+        # per-channel int8 + F32 scales. Only the INPUTS are cast per
+        # call — a blanket compute_dtype cast would round the f32
+        # quantization scales to bf16.
         from istvt_tpu.core import tree as _tree
         from istvt_tpu.models import istvt as _istvt
         params = _tree.cast(params, jnp.bfloat16)
         params = _istvt.quantize_params(params)
+        input_dtype = jnp.bfloat16
+    elif args.bf16:
         compute_dtype = jnp.bfloat16
-    else:
-        compute_dtype = jnp.bfloat16 if args.bf16 else None
     predictor = Predictor(model, params, state,
                           batch_sizes=(args.batch_size,),
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype,
+                          input_dtype=input_dtype)
     loader = ClipLoader(ds, batch_size=args.batch_size, shuffle=False)
     all_logits, all_labels = [], []
     with open(args.out, "w") as f:

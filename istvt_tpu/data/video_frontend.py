@@ -54,20 +54,14 @@ def probe(path: str) -> Tuple[int, int, int, float]:
     n = -1
     w = h = 0
     fps = 0.0
-    if native.video_available():
+    native_ok = native.video_available()
+    if native_ok:
         n, w, h, fps = native.video_probe(path)
         if n > 0:
             return n, w, h, fps
-        if not _HAS_CV2:
-            # metadata absent, no cv2: exact native decode-and-count
-            n = native.video_count_frames(path)
-            if n > 0:
-                return n, w, h, fps
-    if _HAS_CV2:
+    if _HAS_CV2 and n <= 0:
         cap = cv2.VideoCapture(path)
         try:
-            if not cap.isOpened() and n < 0 and not w:
-                raise IOError(f"cannot open video {path}")
             if cap.isOpened():
                 n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
                 w = w or int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
@@ -79,6 +73,10 @@ def probe(path: str) -> Tuple[int, int, int, float]:
                         n += 1
         finally:
             cap.release()
+    if n <= 0 and native_ok:
+        # metadata absent everywhere (or cv2 missing/codec-less):
+        # exact native decode-and-count on the lib that opened the file
+        n = native.video_count_frames(path)
     if n <= 0 or not w or not h:
         raise IOError(f"cannot determine frame count/geometry of {path}")
     return n, w, h, fps

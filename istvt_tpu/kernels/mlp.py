@@ -69,13 +69,17 @@ def _fused_ff_impl(x, w1, b1, w2, b2, interpret: bool = False):
     return out[:n]
 
 
-def _ln_ff_res_h1_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref,
-                         b2_ref, o_ref, h1_ref):
-    """Training forward: same as _ln_ff_res_kernel but ALSO writes the
-    pre-GELU hidden h1 to HBM (bf16) so the backward skips the fc1
-    recompute GEMM — the classic save-vs-recompute trade taken the other
-    way (one (N, 4D) bf16 stash ≈ 0.2 ms of HBM vs a ~1 ms/layer MXU
-    recompute at B=16)."""
+def _ln_ff_res_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      o_ref, *stash):
+    """x + fc2(gelu(fc1(LN(x)))) on one token tile — the whole PreNorm-FF
+    residual branch (reference vivit.py:100 `ff(x) + x` with PreNorm)
+    in one HBM round trip.
+
+    When a second output ref is present (`stash` = (h1_ref,), the
+    differentiated training forward), the pre-GELU hidden h1 is ALSO
+    written to HBM so the backward skips the fc1 recompute GEMM — the
+    save-vs-recompute trade taken the other way (one (N, 4D) bf16 stash
+    ≈ 0.2 ms of HBM vs a ~1 ms/layer MXU recompute at B=16)."""
     x = x_ref[...]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -86,75 +90,17 @@ def _ln_ff_res_h1_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref,
          + bn_ref[...].astype(jnp.float32)).astype(x.dtype)
     h1 = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = h1 + b1_ref[...].astype(jnp.float32)
-    h1_ref[...] = h1.astype(h1_ref.dtype)
+    if stash:
+        stash[0][...] = h1.astype(stash[0].dtype)
     h = jax.nn.gelu(h1, approximate=True).astype(x.dtype)
     o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     o = o + b2_ref[...].astype(jnp.float32) + xf
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _ln_ff_res_kernel(x_ref, s_ref, bn_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      o_ref):
-    """x + fc2(gelu(fc1(LN(x)))) on one token tile — the whole PreNorm-FF
-    residual branch (reference vivit.py:100 `ff(x) + x` with PreNorm)
-    in one HBM round trip."""
-    x = x_ref[...]
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = (xc * jax.lax.rsqrt(var + 1e-5)
-         * s_ref[...].astype(jnp.float32)
-         + bn_ref[...].astype(jnp.float32)).astype(x.dtype)
-    h = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
-    o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-    o = o + b2_ref[...].astype(jnp.float32) + xf
-    o_ref[...] = o.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _ln_ff_res_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
-    from istvt_tpu.kernels.linear import _row_tiles
-    n, d = x.shape
-    dh = w1.shape[1]
-    np_, grid, tile = _row_tiles(n)
-    if np_ != n:
-        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
-    out = pl.pallas_call(
-        _ln_ff_res_kernel,
-        out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, dh), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * np_ * d * dh,
-            bytes_accessed=(2 * np_ * d + d * dh * 2) * x.dtype.itemsize,
-            transcendentals=np_ * (dh + 1),
-        ),
-    )(x, s.reshape(1, -1), bn.reshape(1, -1),
-      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
-    return out[:n]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _ln_ff_res_h1_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "stash_h1"))
+def _ln_ff_res_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False,
+                    stash_h1: bool = False):
     from istvt_tpu.kernels.linear import _row_tiles
     n, d = x.shape
     dh = w1.shape[1]
@@ -163,15 +109,20 @@ def _ln_ff_res_h1_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
     vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
-    out, h1 = pl.pallas_call(
-        _ln_ff_res_h1_kernel,
-        out_shape=(jax.ShapeDtypeStruct((np_, d), x.dtype),
-                   jax.ShapeDtypeStruct((np_, dh), x.dtype)),
+    tok = pl.BlockSpec((tile, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((np_, d), x.dtype)
+    out_spec = tok
+    if stash_h1:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((np_, dh), x.dtype))
+        out_spec = (tok, pl.BlockSpec((tile, dh), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        _ln_ff_res_kernel,
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            vec(s), vec(bn),
+            tok, vec(s), vec(bn),
             pl.BlockSpec((d, dh), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             vec(b1),
@@ -179,24 +130,27 @@ def _ln_ff_res_h1_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             vec(b2),
         ],
-        out_specs=(
-            pl.BlockSpec((tile, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, dh), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * np_ * d * dh,
-            bytes_accessed=(2 * np_ * d + np_ * dh + d * dh * 2)
-            * x.dtype.itemsize,
+            bytes_accessed=(2 * np_ * d + (np_ * dh if stash_h1 else 0)
+                            + d * dh * 2) * x.dtype.itemsize,
             transcendentals=np_ * (dh + 1),
         ),
-    )(x, s.reshape(1, -1), bn.reshape(1, -1), w1, b1.reshape(1, -1),
-      w2, b2.reshape(1, -1))
-    return out[:n], h1[:n]
+    )(x, s.reshape(1, -1), bn.reshape(1, -1),
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    if stash_h1:
+        out, h1 = res
+        return out[:n], h1[:n]
+    return res[:n]
+
+
+def _ln_ff_res_h1_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False):
+    return _ln_ff_res_impl(x, s, bn, w1, b1, w2, b2, interpret=interpret,
+                           stash_h1=True)
 
 
 def _ln_ff_res_reference(x, s, bn, w1, b1, w2, b2):

@@ -26,12 +26,18 @@ import jax.numpy as jnp
 
 class Predictor:
     def __init__(self, model, params, state, batch_sizes: Sequence[int] =
-                 (1, 8, 16), compute_dtype=None):
+                 (1, 8, 16), compute_dtype=None, input_dtype=None):
+        """compute_dtype: cast params AND inputs per call (float leaves
+        only). input_dtype: cast ONLY the inputs — use this for int8
+        serving, where the params already carry their deployed dtypes
+        (bf16 weights, int8 q8 copies, f32 scales) and a blanket float
+        cast would degrade the f32 quantization scales to bf16."""
         self.model = model
         self.params = params
         self.state = state
         self.batch_sizes = sorted(batch_sizes)
         self.compute_dtype = compute_dtype
+        self.input_dtype = input_dtype
         self._fwd = jax.jit(self._forward)
 
     def _forward(self, params, state, x):
@@ -39,6 +45,8 @@ class Predictor:
             from istvt_tpu.core import tree as _tree
             params = _tree.cast(params, self.compute_dtype)
             x = x.astype(self.compute_dtype)
+        elif self.input_dtype is not None:
+            x = x.astype(self.input_dtype)
         logits, _ = self.model.apply(params, state, x, train=False)
         return logits.reshape(x.shape[0], -1)[:, 0].astype(jnp.float32)
 

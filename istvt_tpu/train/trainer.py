@@ -84,6 +84,21 @@ def evaluate(model, params, model_state, loader, mesh=None,
         out = eval_fn(params, model_state,
                       {k: batch[k] for k in ("clips", "images", "labels")
                        if k in batch})
+        if jax.process_count() > 1:
+            # per-batch outputs are 'data'-sharded across hosts; gather
+            # them so every host computes identical global metrics
+            # (np.asarray on a non-addressable array would raise)
+            from jax.experimental import multihost_utils
+            gather = {k: out[k] for k in ("logits", "labels")}
+            for k in ("valid", "fake_types"):
+                if k in batch:
+                    gather[k] = batch[k]
+            gather = multihost_utils.process_allgather(gather, tiled=True)
+            out = dict(out, **{k: gather[k] for k in ("logits", "labels")})
+            batch = dict(batch)
+            for k in ("valid", "fake_types"):
+                if k in gather:
+                    batch[k] = gather[k]
         valid = np.asarray(batch["valid"]).reshape(-1).astype(bool) \
             if "valid" in batch else np.ones(
                 np.asarray(out["labels"]).size, bool)
