@@ -140,3 +140,30 @@ def test_triplet_model_trains_and_evals_end_to_end():
     ev = evaluate(model, ts.params, ts.model_state, loader)
     assert ev["n"] == 6
     assert 0.0 <= ev["accuracy"] <= 1.0 and 0.0 <= ev["auc"] <= 1.0
+
+
+def test_ensemble_model_evals_end_to_end():
+    """The ensemble (forward_multi) family must also run trainer.evaluate
+    through its single-input apply (branch-averaged 2-class logits)."""
+    from istvt_tpu.data.video_dataset import ClipDataset
+    from istvt_tpu.models.registry import model_selection
+    from istvt_tpu.train.trainer import evaluate
+
+    model = model_selection("multi_efficientnet", num_out_classes=2)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+
+    class _Imgs(ClipDataset):
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {"images": r.normal(0, 0.5, (64, 64, 3))
+                    .astype(np.float32),
+                    "labels": np.int32(i % 2)}
+
+    from istvt_tpu.data.loader import ClipLoader
+    loader = ClipLoader(_Imgs(), batch_size=2, shuffle=False, num_workers=1)
+    ev = evaluate(model, params, mstate, loader)
+    assert ev["n"] == 4
+    assert 0.0 <= ev["accuracy"] <= 1.0 and 0.0 <= ev["auc"] <= 1.0
