@@ -96,7 +96,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     clips_per_sec = batch / dt
-    p50_latency_ms = dt * 1000.0 / batch
+    per_clip_ms = dt * 1000.0 / batch   # MEAN over the chained iterations
 
     # true single-clip p50 latency (BASELINE.md tracks it separately from
     # batched throughput)
@@ -123,7 +123,7 @@ def main():
             "dtype": "int8_w8a8" if quant else
                      str(dtype.__name__ if hasattr(dtype, "__name__")
                          else dtype),
-            "per_clip_ms": round(p50_latency_ms, 3),
+            "per_clip_ms": round(per_clip_ms, 3),
         },
     }
     if lat_ms is not None:

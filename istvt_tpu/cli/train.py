@@ -86,16 +86,19 @@ def make_datasets(args):
     if args.dataset == "ff++video":
         # raw .mp4 tree: decode + face-crop on the fly (video_frontend)
         from istvt_tpu.data.video_frontend import RawVideoDataset
+        # backend pinned (not auto): cv2 by default, native via
+        # --use_native_decode — same determinism contract as the frame
+        # datasets (the two scalers differ in filter phase)
         train = RawVideoDataset(root=args.data_root, quality=args.quality,
                                 mode="Train", size=args.input_size,
                                 seq_len=args.seq_len,
                                 dataset_len=args.dataset_len,
                                 seed=args.seed,
-                                use_native=use_native or None)
+                                use_native=use_native)
         val = RawVideoDataset(root=args.data_root, quality=args.quality,
                               mode="Test", size=args.input_size,
                               seq_len=args.seq_len, return_fake_type=True,
-                              use_native=use_native or None)
+                              use_native=use_native)
         return train, val
     train = VideoSeqDataset(root=args.data_root, quality=args.quality,
                             transform=tf["train"], size=args.input_size,

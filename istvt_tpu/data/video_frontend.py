@@ -98,9 +98,17 @@ def _decode_cv2(path: str, indices: np.ndarray, out_size: int,
             while next_i < len(indices) and indices[next_i] == frame_no:
                 img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
                 if crops is not None:
+                    # same clamp/degenerate-crop fallback as the native
+                    # decoder (videodecode.cpp) so the backends stay
+                    # interchangeable on edge boxes
+                    fh, fw = img.shape[:2]
                     y0, x0, ch, cw = (int(v) for v in crops[next_i])
-                    y0 &= ~1
-                    x0 &= ~1
+                    y0 = max(y0, 0) & ~1
+                    x0 = max(x0, 0) & ~1
+                    ch = min(ch, fh - y0)
+                    cw = min(cw, fw - x0)
+                    if ch < 2 or cw < 2:
+                        y0, x0, ch, cw = 0, 0, fh, fw
                     img = img[y0:y0 + ch, x0:x0 + cw]
                 img = cv2.resize(img.astype(np.float32),
                                  (out_size, out_size),

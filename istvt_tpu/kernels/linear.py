@@ -58,6 +58,13 @@ def _matmul_bias_res_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
     o_ref[...] = o.astype(o_ref.dtype)
 
 
+def _vec_spec(v):
+    """BlockSpec for a (1, K) broadcast vector resident in VMEM (bias /
+    LN-affine / quant-scale rows shared by every grid program)."""
+    return pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _row_tiles(n: int, max_tile: int = 512):
     """Pick a row tile that divides n exactly (multiple of 8) so the
     kernel needs NO pad + slice glue — round-2 profiling showed the

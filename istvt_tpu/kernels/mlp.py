@@ -107,8 +107,7 @@ def _ln_ff_res_impl(x, s, bn, w1, b1, w2, b2, interpret: bool = False,
     np_, grid, tile = _row_tiles(n)
     if np_ != n:
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
-    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    from istvt_tpu.kernels.linear import _vec_spec as vec
     tok = pl.BlockSpec((tile, d), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((np_, d), x.dtype)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from istvt_tpu.kernels.linear import _ln, _row_tiles
+from istvt_tpu.kernels.linear import _ln, _row_tiles, _vec_spec
 
 
 def quantize_weight(w) -> tuple:
@@ -72,8 +72,7 @@ def _ln_matmul_q8_impl(x, s, b, wq, ws, interpret: bool = False):
     np_, grid, tile = _row_tiles(n)
     if np_ != n:
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
-    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    vec = _vec_spec
     out = pl.pallas_call(
         _ln_matmul_q8_kernel,
         out_shape=jax.ShapeDtypeStruct((np_, k), x.dtype),
@@ -136,8 +135,7 @@ def _matmul_q8_impl(x, wq, ws, b, r, interpret: bool = False,
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
         if has_res:
             r = jnp.pad(r, ((0, np_ - n), (0, 0)))
-    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    vec = _vec_spec
     in_specs = [
         pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -210,8 +208,7 @@ def _ln_ff_q8_impl(x, s, b, w1q, w1s, b1, w2, b2,
     np_, grid, tile = _row_tiles(n, max_tile=256)
     if np_ != n:
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
-    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    vec = _vec_spec
     out = pl.pallas_call(
         _ln_ff_q8_kernel,
         out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
@@ -279,8 +276,7 @@ def _ln_ff_q8_full_impl(x, s, b, w1q, w1s, b1, w2q, w2s, b2,
     np_, grid, tile = _row_tiles(n, max_tile=256)
     if np_ != n:
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
-    vec = lambda v: pl.BlockSpec((1, v.shape[-1]), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    vec = _vec_spec
     out = pl.pallas_call(
         _ln_ff_q8_full_kernel,
         out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),

@@ -76,10 +76,14 @@ def evaluate(model, params, model_state, loader, mesh=None,
     # shardable over the 'data' axis (and compiles to one shape); padded
     # rows are dropped host-side via the 'valid' mask before metrics.
     # Under a host-sliced loader each host pads its LOCAL slice (the
-    # loader contract guarantees equal slices across hosts).
-    local_bs = loader.batch_size // getattr(loader, "host_count", 1)
-    feed = device_feed(loader, mesh, pad_to_batch=local_bs) \
-        if mesh is not None else iter(loader)
+    # loader contract guarantees equal slices across hosts). Plain
+    # iterables (no batch_size attribute) stay supported when mesh=None.
+    if mesh is not None:
+        bs = getattr(loader, "batch_size", None)
+        local_bs = (bs // getattr(loader, "host_count", 1)) if bs else None
+        feed = device_feed(loader, mesh, pad_to_batch=local_bs)
+    else:
+        feed = iter(loader)
     for batch in feed:
         out = eval_fn(params, model_state,
                       {k: batch[k] for k in ("clips", "images", "labels")
