@@ -26,6 +26,7 @@ when available — pass False to pin the cv2 path everywhere.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -84,7 +85,7 @@ def probe(path: str) -> Tuple[int, int, int, float]:
 
 def _decode_cv2(path: str, indices: np.ndarray, out_size: int,
                 crops: Optional[np.ndarray], mean: float,
-                std: float) -> np.ndarray:
+                std: float) -> Tuple[np.ndarray, int]:
     if not _HAS_CV2:
         raise RuntimeError("no video backend (native build failed, no cv2)")
     cap = cv2.VideoCapture(path)
@@ -118,7 +119,7 @@ def _decode_cv2(path: str, indices: np.ndarray, out_size: int,
             frame_no += 1
     finally:
         cap.release()
-    return out
+    return out, next_i
 
 
 def decode_clip(path: str, indices: Sequence[int], out_size: int,
@@ -139,10 +140,25 @@ def decode_clip(path: str, indices: Sequence[int], out_size: int,
     if use_native is None:
         use_native = native.video_available()
     if use_native:
-        out = native.video_decode_indices(path, idx, out_size, cr,
-                                          mean, std)
+        out, filled = native.video_decode_indices(path, idx, out_size, cr,
+                                                  mean, std,
+                                                  return_filled=True)
     else:
-        out = _decode_cv2(path, idx, out_size, cr, mean, std)
+        out, filled = _decode_cv2(path, idx, out_size, cr, mean, std)
+    if filled < len(idx):
+        # container metadata overestimated the frame count (probe() falls
+        # back to duration*fps rounding on some files) and the highest
+        # indices ran past EOF: repeat the last REAL frame instead of
+        # silently returning all-black rows (training on black frames
+        # corrupts the temporal-difference signal without any error)
+        if filled == 0:
+            raise IOError(f"decode_clip({path}): no frames decoded "
+                          f"(requested indices {idx[0]}..{idx[-1]})")
+        warnings.warn(
+            f"decode_clip({path}): only {filled}/{len(idx)} requested "
+            f"frames exist (frame-count metadata overestimates); "
+            f"repeating the last real frame", stacklevel=2)
+        out[filled:] = out[filled - 1]
     inv = np.empty_like(order)
     inv[order] = np.arange(order.size)
     return out[inv]
@@ -197,16 +213,44 @@ def _detect_box(path: str, frame_idx: int, src_hw: Tuple[int, int],
                 use_native: Optional[bool],
                 small: Optional[np.ndarray] = None
                 ) -> Tuple[int, int, int, int]:
-    """One face box in source pixels from a low-res decode of one frame
-    (shared by clip_face_crops and extract_frames so the online and
-    offline crop paths stay numerically identical)."""
+    """One SQUARE face box in source pixels from a low-res decode of one
+    frame (shared by clip_face_crops and extract_frames so the online and
+    offline crop paths stay numerically identical).
+
+    The probe decode resizes the full frame to probe_size x probe_size
+    (aspect-squashed), so a square box in probe coordinates maps back
+    through DIFFERENT y/x scale factors. Scaling the box sides naively
+    yields a non-square source crop whose final square resize distorts
+    the face by w/h (~1.33-1.78x on typical videos). Instead the box is
+    re-squared in SOURCE pixels: side = max of the two scaled extents,
+    re-centered on the scaled box center, clamped to the frame."""
     h, w = src_hw
+    short = min(h, w)
+    center = ((h - short) // 2, (w - short) // 2, short, short)
+    if mode == "center":
+        # short-side square directly from source geometry (computing it
+        # via face_box on the SQUARE probe frame degenerates to the full
+        # frame, making 'center' behave like 'none')
+        return center
     if small is None:
-        small = decode_clip(path, [frame_idx], probe_size, mean=0.5,
-                            std=0.5, use_native=use_native)[0]
+        try:
+            small = decode_clip(path, [frame_idx], probe_size, mean=0.5,
+                                std=0.5, use_native=use_native)[0]
+        except IOError:
+            # probe frame past EOF (frame-count metadata overestimate):
+            # fall back to the fixed center box rather than failing the clip
+            return center
     by, bx, bh, bw = face_box(small, margin=margin, mode=mode)
+    if (by, bx, bh, bw) == (0, 0, small.shape[0], small.shape[1]):
+        # skin-mask fallback hit inside face_box (<1% skin pixels):
+        # same centered short-side square, in source coordinates
+        return center
     sy, sx = h / probe_size, w / probe_size
-    return int(by * sy), int(bx * sx), int(bh * sy), int(bw * sx)
+    cy, cx = (by + bh / 2.0) * sy, (bx + bw / 2.0) * sx
+    side = int(round(min(max(bh * sy, bw * sx), short)))
+    y0 = int(np.clip(cy - side / 2.0, 0, h - side))
+    x0 = int(np.clip(cx - side / 2.0, 0, w - side))
+    return y0, x0, side, side
 
 
 def clip_face_crops(path: str, indices: Sequence[int], margin: float = 1.3,

@@ -186,6 +186,17 @@ def dsttr_apply(
     # attached 'q8' weights); train/bias/attn-map paths stay float
     use_q8 = (fused_blocks and not train and cfg.quantize == "int8"
               and "q8" in p["layers"][0]["attn_t"])
+    if cfg.quantize == "int8" and not train and not use_q8:
+        # loud, not silent: a config that CLAIMS int8 serving but runs
+        # float (missing quantize_params, or a path — TP / attn-maps /
+        # pallas-off — that can't take the q8 kernels) would otherwise
+        # mislabel every benchmark and serving deployment
+        import warnings
+        why = ("params lack the 'q8' subtree (run quantize_params)"
+               if fused_blocks else
+               "the fused-kernel path is off (use_pallas/TP/attn-map)")
+        warnings.warn(f"cfg.quantize='int8' but running FLOAT: {why}",
+                      stacklevel=2)
     s_valid = s
     if fused_blocks and s % 8 != 0:
         pad = (-s) % 8

@@ -128,12 +128,16 @@ def video_probe(path: str) -> Tuple[int, int, int, float]:
 def video_decode_indices(path: str, indices: np.ndarray, out_size: int,
                          crops: Optional[np.ndarray] = None,
                          mean: float = 0.5, std: float = 0.5,
-                         out: Optional[np.ndarray] = None) -> np.ndarray:
+                         out: Optional[np.ndarray] = None,
+                         return_filled: bool = False):
     """Decode ascending presentation-order `indices` from one video.
 
     crops: optional (n, 4) int32 (y0, x0, h, w) source-pixel boxes applied
     before the SWS_AREA resize. -> (n, out_size, out_size, 3) f32
-    normalized (x/255 - mean)/std; indices past EOF come back zeroed."""
+    normalized (x/255 - mean)/std; indices past EOF come back zeroed.
+    With return_filled=True also returns the count of frames actually
+    decoded (trailing indices past EOF stay unfilled) so callers can
+    detect metadata frame-count overestimates."""
     lib = _load_video()
     if lib is None:
         raise RuntimeError("native videodecode unavailable (build failed)")
@@ -155,7 +159,7 @@ def video_decode_indices(path: str, indices: np.ndarray, out_size: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), None)
     if got < 0:
         raise IOError(f"video_decode_indices({path}) failed rc={got}")
-    return out
+    return (out, int(got)) if return_filled else out
 
 
 def available() -> bool:
