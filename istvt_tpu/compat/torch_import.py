@@ -203,6 +203,39 @@ def resnet3d_from_torch(sd: Mapping[str, Any], layers, kind: str):
     return p, s
 
 
+def resnet2d_from_torch(sd: Mapping[str, Any], depth: int = 18):
+    """torchvision-style resnet18/34/50/101 state_dict -> (params, state)
+    for models/resnet2d (reference network/models.py:59-63 wraps
+    `torchvision.models.resnet18/50(pretrained=True)`; key layout is
+    torchvision's: conv1/bn1, layer{L}.{B}.conv{i}/bn{i}, downsample.0/1,
+    fc)."""
+    from istvt_tpu.models.resnet2d import LAYERS
+
+    kind, layers = LAYERS[depth]
+    n_convs = 3 if kind == "bottleneck" else 2
+    p: Dict[str, Any] = {"conv1": {"w": conv_w(sd["conv1.weight"])}}
+    s: Dict[str, Any] = {}
+    p["bn1"], s["bn1"] = _bn(sd, "bn1")
+    for li, n_blocks in enumerate(layers):
+        lname = f"layer{li + 1}"
+        p[lname], s[lname] = [], []
+        for bi in range(n_blocks):
+            pre = f"{lname}.{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"] = {"w": conv_w(sd[f"{pre}.conv{ci}.weight"])}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["down"] = {"w": conv_w(sd[f"{pre}.downsample.0.weight"])}
+                bp["downbn"], bs["downbn"] = _bn(sd, f"{pre}.downsample.1")
+            p[lname].append(bp)
+            s[lname].append(bs)
+    if "fc.weight" in sd:
+        p["fc"] = {"w": linear_w(sd["fc.weight"]), "b": vec(sd["fc.bias"])}
+    return p, s
+
+
 def efficientnet_from_torch(sd: Mapping[str, Any]):
     """EfficientNet(_cdc) state_dict (reference network/efficientnet_cdc.py)
     -> (params, state). Depthwise convs: torch (C,1,kh,kw) -> HWIO (kh,kw,1,C)."""

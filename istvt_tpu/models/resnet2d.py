@@ -126,4 +126,10 @@ def apply(p, s, x, cfg, train: bool = False, rng=None):
             y, bns = block_apply(p[name][bi], s[name][bi], y, stride, train)
             ns[name].append(bns)
     feat = jnp.mean(y, axis=(1, 2))
+    # TransferModel head: Dropout(p) -> Linear (reference
+    # network/models.py:66-71); identity in eval mode
+    drop = cfg.get("dropout", 0.0)
+    if train and drop and rng is not None:
+        from istvt_tpu.nn.layers import dropout
+        feat = dropout(rng, feat, drop, train)
     return linear(p["fc"], feat), ns

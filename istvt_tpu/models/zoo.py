@@ -284,7 +284,7 @@ def _resnet2d_builder(depth):
 
         def init(rng):
             p, s, cfg = _r2d.init(rng, depth, num_out_classes)
-            holder["cfg"] = cfg
+            holder["cfg"] = dict(cfg, dropout=dropout or 0.0)
             return p, s
 
         def apply(params, state, images, train=False, rng=None):
