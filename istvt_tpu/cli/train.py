@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_native_decode", action="store_true",
                    help="C++ clip decoder fast path (pixels differ "
                         "slightly from PIL on downscale — opt-in)")
+    p.add_argument("--dump_attns_every", type=int, default=0,
+                   help="save ensemble attention maps (s_attns metrics "
+                        "keys) as .npy every N iterations, reference "
+                        "train_CNN.py:396-401 (0 = off)")
     return p
 
 
@@ -149,9 +153,15 @@ def main(argv=None):
 
     mesh = make_mesh(model=args.mesh_model)
     steps_per_epoch = max(len(train_loader), 1)
+    step_hook = None
+    if args.dump_attns_every > 0:
+        from istvt_tpu.train.attn_dump import AttnDumper
+        step_hook = AttnDumper(args.checkpoint_dir or ".",
+                               every=args.dump_attns_every)
     trainer = Trainer(model, tc, dc, mesh=mesh,
                       steps_per_epoch=steps_per_epoch,
-                      use_reference_schedule=args.reference_schedule)
+                      use_reference_schedule=args.reference_schedule,
+                      step_hook=step_hook)
 
     ts = trainer.init_state()
     if args.continue_train or args.test_mode:

@@ -90,22 +90,32 @@ def make_adversarial_train_step(
     backbone_opt, solver_opt, ccls_opt,
     lam_rec: float = 1.0,
     lam_adv: float = 0.1,
+    return_attns: bool = False,
 ):
     """The jigsaw+compression adversarial alternation in one jitted step.
 
     ensemble_apply(params, state, inputs, train, rng) ->
-        ((clas, feats, _, _), new_state)  — multi-branch backbone
+        ((clas, feats, s_attns, _), new_state)  — multi-branch backbone
     solver_apply(params, state, feat, train) -> (idx_pred, new_state)
     ccls_apply(params, feat) -> quality logits
 
     batch: {'clips' or views list, 'labels', 'perm' (jigsaw permutation),
-    'qual' (0 lq / 1 hq)}.
+    'qual' (0 lq / 1 hq), optionally 'views_pair' (the paired-quality
+    views, reference train_CNN.py:398 `model(image[3:])`)}.
+
+    return_attns=True surfaces the first branch's spatial-attention map
+    in the metrics dict as 's_attns' (and 's_attns_p' from a
+    stop-gradient forward on 'views_pair' when present) — the
+    interpretability side output the reference dumps as .npy every 1000
+    pair-training iterations (train_CNN.py:396-401; maps produced by the
+    ensemble models, unet.py:535-552 — empty for DualNet, dual_net.py:232,
+    in which case nothing is surfaced).
     """
 
     def backbone_loss(bb_params, bb_state, sol_params, sol_state,
                       ccls_params, batch, rng):
         views = batch["views"]
-        (clas, feats, _, _), new_state = ensemble_apply(
+        (clas, feats, s_attns, _), new_state = ensemble_apply(
             bb_params, bb_state, views, True, rng)
         labels = batch["labels"]
         loss = sum(losses.bce_with_logits(c[:, :1], labels) for c in clas) \
@@ -124,13 +134,14 @@ def make_adversarial_train_step(
                 q_pred = ccls_apply(ccls_params, f)
                 loss = loss + lam_adv * losses.softmax_cross_entropy(
                     q_pred, batch["qual"])
-        return loss, (new_state, clas[0], pooled)
+        attn = s_attns[0] if (return_attns and s_attns) else None
+        return loss, (new_state, clas[0], pooled, attn)
 
     def step(st: AdversarialState, batch, rng):
         ts = st.backbone
         # (a) backbone update
-        (loss_b, (bb_state, logits, pooled)), grads = jax.value_and_grad(
-            backbone_loss, has_aux=True)(
+        (loss_b, (bb_state, logits, pooled, attn)), grads = \
+            jax.value_and_grad(backbone_loss, has_aux=True)(
                 ts.params, ts.model_state, st.solver_params,
                 st.solver_state, st.ccls_params, batch, rng)
         upd, bb_opt = backbone_opt.update(grads, ts.opt_state, ts.params)
@@ -175,6 +186,17 @@ def make_adversarial_train_step(
             ccls_opt=ccls_opt_state)
         m = {"loss": loss_b, "solver_loss": loss_s, "ccls_loss": loss_c,
              "accuracy": metrics.accuracy(logits[:, 0], batch["labels"])}
+        if attn is not None:
+            m["s_attns"] = attn
+            if "views_pair" in batch:
+                # paired-quality forward is a SIDE OUTPUT only (reference
+                # train_CNN.py:398 runs it outside the loss): no grads,
+                # BN state discarded
+                (_, _, s_attns_p, _), _ = ensemble_apply(
+                    jax.lax.stop_gradient(bb_params), bb_state,
+                    batch["views_pair"], False, rng)
+                if s_attns_p:
+                    m["s_attns_p"] = s_attns_p[0]
         return new_st, m
 
     return jax.jit(step)

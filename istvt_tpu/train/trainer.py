@@ -139,12 +139,16 @@ class Trainer:
                  mesh=None, loss_fn: Optional[Callable] = None,
                  steps_per_epoch: Optional[int] = None,
                  use_reference_schedule: bool = False,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print,
+                 step_hook: Optional[Callable[[int, Dict], None]] = None):
         self.model = model
         self.tc = tc
         self.dc = dc
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self.log = log_fn
+        # per-iteration observer of (step, metrics) — e.g. the attention
+        # .npy dumper (train/attn_dump.py, reference train_CNN.py:396-401)
+        self.step_hook = step_hook
         if tc.debug_nans:
             # jax-native NaN trap (SURVEY.md §5.2): every jitted program
             # re-runs un-jitted on NaN and raises at the producing op
@@ -232,6 +236,8 @@ class Trainer:
                 rng, srng = jax.random.split(rng)
                 ts, m = self.step_fn(ts, batch, srng)
                 state_box["ts"] = ts
+                if self.step_hook is not None:
+                    self.step_hook(int(ts.step), m)
                 bs = batch["clips"].shape[0] if "clips" in batch \
                     else batch["images"].shape[0]
                 run_loss.update(float(m["loss"]), bs)
