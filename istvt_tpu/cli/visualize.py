@@ -28,7 +28,7 @@ def build_parser():
     p.add_argument("--out_dir", default="./visualize")
     p.add_argument("--method", default="transformer_attribution",
                    choices=["transformer_attribution", "rollout",
-                            "last_layer"])
+                            "last_layer", "full_lrp"])
     p.add_argument("--index", type=int, default=0,
                    help="class logit to attribute (visualize_rel.py:257)")
     p.add_argument("--max_clips", type=int, default=1000,
@@ -95,8 +95,15 @@ def main(argv=None):
                 save_png(os.path.join(args.out_dir, f"{names[t]}_feat.png"),
                          np.uint8(255 * m))
             continue
-        cam_s, cam_t = generate_lrp(params, state, clips, cfg,
-                                    index=args.index, method=args.method)
+        if args.method == "full_lrp":
+            # per-module ε-rule relevance propagation (interpret/full_lrp)
+            from istvt_tpu.interpret.full_lrp import generate_full_lrp
+            cam_s, cam_t = generate_full_lrp(params, state, clips, cfg,
+                                             index=args.index)
+        else:
+            cam_s, cam_t = generate_lrp(params, state, clips, cfg,
+                                        index=args.index,
+                                        method=args.method)
         cam_s, cam_t = np.asarray(cam_s)[0], np.asarray(cam_t)[0]
         for t in range(args.seq_len):
             frame = frames01[t]
