@@ -203,6 +203,48 @@ def test_tp_pallas_kernels_match_xla_path():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
+def test_tp_pallas_real_geometry_s362():
+    """VERDICT r2 #4: TP equivalence at the REAL token geometry.
+
+    All other model>1 tests use S=26 toy tokens; this one feeds the DSTTr
+    the paper's 19x19x728 feature grid directly (stem skipped), so the
+    S=362 -> 368 tile padding and the spatial kernel's n_valid key
+    masking (models/istvt.py:190-193, kernels/attention.py) are exercised
+    HEAD-SHARDED (model=2) — exactly the shape where a padding/masking
+    bug under TP would hide. Single-device unfused vs mesh+Pallas logits
+    must agree to float tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from istvt_tpu.models import istvt
+    from istvt_tpu.parallel import tp
+
+    t = 2
+    cfg_x = ISTVTConfig(num_frames=t, image_size=300, feat_hw=19, depth=1,
+                        num_classes=1, use_pallas=False)
+    cfg_p = ISTVTConfig(num_frames=t, image_size=300, feat_hw=19, depth=1,
+                        num_classes=1, use_pallas=True)
+    assert cfg_x.tokens_per_frame == 362
+    vp = istvt.dsttr_init(jax.random.PRNGKey(0), cfg_x)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (4, t, 19, 19, 728),
+                              jnp.float32) * 0.5
+
+    ref = jax.jit(lambda p, f: istvt.dsttr_apply(p, f, cfg_x))(vp, feats)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shd.place(vp, shd.param_shardings(vp, mesh))
+    f_sh = shd.place({"clips": feats},
+                     shd.batch_shardings({"clips": feats}, mesh))["clips"]
+
+    def fwd(p, f):
+        with tp.scope(mesh):
+            return istvt.dsttr_apply(p, f, cfg_p)
+
+    got = jax.jit(fwd)(p_sh, f_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+
 def test_tp_pallas_train_step_matches_single_device():
     """TP + Pallas TRAIN step (fwd+bwd through the shard_map'd kernels)
     agrees with the unsharded non-pallas step."""

@@ -212,3 +212,91 @@ def test_train_cli_from_raw_videos(video_tree, tmp_path):
     ])
     import os as _os
     assert _os.path.isdir(tmp_path / "out")
+
+
+# ---------------------------------------------------------------------------
+# Crop-fidelity validation vs synthetic ground truth (VERDICT r2 #9).
+# No face-detector data ships in this environment (cv2 has no Haar
+# cascades, zero egress), so fidelity is quantified against KNOWN
+# ground-truth boxes: skin-tone ellipses at controlled positions/sizes on
+# non-skin backgrounds across the aspect ratios FF++ videos actually use.
+# Thresholds pinned ~0.05 under measured (direct 0.80/0.78 mean/min,
+# probe-mapped 0.80/0.77); numbers documented in docs/DATA.md.
+
+
+def _synth_face_frame(h, w, cy, cx, fh, fw, seed):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = 0.3
+    img[..., 1] = 0.4
+    img[..., 2] = 0.55
+    img += rng.normal(0, 0.05, img.shape)
+    yy, xx = np.mgrid[0:h, 0:w]
+    ell = (((yy - cy) / (fh / 2)) ** 2 + ((xx - cx) / (fw / 2)) ** 2) <= 1
+    img[ell] = np.array([0.78, 0.57, 0.45]) \
+        + rng.normal(0, 0.03, (int(ell.sum()), 3))
+    return np.clip(img, 0, 1)
+
+
+def _iou(a, b):
+    ay, ax, ah, aw = a
+    by, bx, bh, bw = b
+    y1, x1 = max(ay, by), max(ax, bx)
+    y2, x2 = min(ay + ah, by + bh), min(ax + aw, bx + bw)
+    inter = max(0, y2 - y1) * max(0, x2 - x1)
+    return inter / (ah * aw + bh * bw - inter)
+
+
+def _truth_box(h, w, cy, cx, fh, fw, margin):
+    side = int(min(max(max(fh, fw) * margin, 16), min(h, w)))
+    y0 = int(np.clip(cy - side / 2, 0, h - side))
+    x0 = int(np.clip(cx - side / 2, 0, w - side))
+    return y0, x0, side, side
+
+
+def test_face_box_iou_vs_ground_truth():
+    """face_box on full-res frames: IoU vs the ideal margin-grown square
+    around a known face ellipse, swept over sizes/positions/aspects."""
+    ious = []
+    for trial in range(24):
+        h, w = [(240, 320), (480, 640), (360, 640), (300, 300)][trial % 4]
+        rng = np.random.default_rng(trial)
+        fh = int(min(h, w) * rng.uniform(0.3, 0.5))
+        fw = int(fh * rng.uniform(0.75, 0.95))
+        cy = rng.uniform(fh / 2 + 5, h - fh / 2 - 5)
+        cx = rng.uniform(fw / 2 + 5, w - fw / 2 - 5)
+        frame = _synth_face_frame(h, w, cy, cx, fh, fw, trial)
+        got = face_box(frame, margin=1.3, mode="skin")
+        ious.append(_iou(got, _truth_box(h, w, cy, cx, fh, fw, 1.3)))
+    ious = np.asarray(ious)
+    assert ious.mean() > 0.75, ious
+    assert ious.min() > 0.70, ious
+
+
+def test_detect_box_probe_mapping_iou():
+    """_detect_box's aspect-squashed-probe -> source mapping: the raw
+    probe bbox must map extent-by-extent, square ONLY in source pixels,
+    and keep the full-res path's fidelity (a probe-squared box mis-sizes
+    by up to w/h: measured IoU 0.35 before the fix, 0.80 after)."""
+    import cv2 as _cv2
+    from istvt_tpu.data.video_frontend import _detect_box
+
+    ious = []
+    for trial in range(24):
+        h, w = [(240, 320), (480, 640), (360, 640), (404, 720)][trial % 4]
+        rng = np.random.default_rng(100 + trial)
+        fh = int(min(h, w) * rng.uniform(0.3, 0.5))
+        fw = int(fh * rng.uniform(0.75, 0.95))
+        cy = rng.uniform(fh / 2 + 5, h - fh / 2 - 5)
+        cx = rng.uniform(fw / 2 + 5, w - fw / 2 - 5)
+        frame = _synth_face_frame(h, w, cy, cx, fh, fw, 100 + trial)
+        # decode_clip's probe convention: square resize + (x-0.5)/0.5
+        small = _cv2.resize(frame, (128, 128),
+                            interpolation=_cv2.INTER_AREA) * 2 - 1
+        got = _detect_box("(unused)", 0, (h, w), margin=1.3, mode="skin",
+                          probe_size=128, use_native=False, small=small)
+        assert got[2] == got[3], got  # square in SOURCE pixels
+        ious.append(_iou(got, _truth_box(h, w, cy, cx, fh, fw, 1.3)))
+    ious = np.asarray(ious)
+    assert ious.mean() > 0.75, ious
+    assert ious.min() > 0.70, ious
