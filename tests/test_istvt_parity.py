@@ -167,3 +167,38 @@ def test_full_geometry_dsttr_parity(reference_path):
     with precision.highest():
         got = jax.jit(lambda p, f: jistvt.dsttr_apply(p, f, cfg))(p, feats_j)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_full_geometry_istvt_300sq_depth12_parity(reference_path):
+    """VERDICT r2 #10: the COMPLETE paper model — Xception stem at 300²
+    feeding a depth-12 DSTTr (reference vivit.py:193-208 exactly) — vs
+    the composed torch reference, logits ≤1e-3. Opt-in: pytest -m slow."""
+    import network.xception as rx
+
+    full = _build_torch_dsttr(reference_path, depth=12, seed=9)
+    torch.manual_seed(2)
+    xcep = rx.Xception(num_classes=2)
+    xcep.eval()
+    with torch.no_grad():
+        for mod in xcep.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.copy_(torch.randn(mod.num_features) * 0.05)
+                mod.running_var.copy_(torch.rand(mod.num_features) + 0.5)
+
+    rng = np.random.RandomState(11)
+    clips = rng.rand(1, 6, 3, 300, 300).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        bt = torch.from_numpy(clips).flatten(0, 1)
+        feats = xcep.low_level_features(bt).reshape(1, 6, 728, 19, 19)
+        ref = full(feats).numpy()
+
+    xp, xs = xception_from_torch(xcep.state_dict())
+    vp = dsttr_from_torch(full.state_dict(), depth=12)
+    params, state = {"xcep": xp, "vit": vp}, {"xcep": xs}
+    cfg = ISTVTConfig(depth=12)
+    clips_j = jnp.asarray(clips.transpose(0, 1, 3, 4, 2))
+    with precision.highest():
+        got, _ = jax.jit(lambda p, s, c: jistvt.apply(p, s, c, cfg))(
+            params, state, clips_j)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-3)
