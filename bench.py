@@ -34,7 +34,10 @@ def main():
     platform = jax.devices()[0].platform
     # batch size: saturate the MXU on TPU; stay small on CPU fallback
     batch = int(os.environ.get("BENCH_BATCH", "16" if platform == "tpu" else "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "8" if platform == "tpu" else "2"))
+    # 32 chained iterations: the per-CALL fixed cost (tunnel round trip +
+    # dispatch, measured ~33 ms — see BASELINE.md bs=1 note) amortizes to
+    # ~1 ms/iter; device time per batch is what remains
+    iters = int(os.environ.get("BENCH_ITERS", "32" if platform == "tpu" else "2"))
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     # The PRODUCTION serving path is int8 W8A8 on the ST-layer GEMMs
     # (kernels/quant.py) — it is the default measurement here, like it
@@ -100,7 +103,7 @@ def main():
 
     # true single-clip p50 latency (BASELINE.md tracks it separately from
     # batched throughput)
-    lat_ms = None
+    lat_ms = dev_ms = None
     if os.environ.get("BENCH_LATENCY", "1") == "1" and batch > 1:
         clip1 = clips[:1]
         float(fwd(params, state, clip1))
@@ -111,6 +114,13 @@ def main():
             lat.append(time.perf_counter() - t0)
         lat.sort()
         lat_ms = lat[len(lat) // 2] * 1000.0
+        # device-side bs=1 time: chain 16 single-clip forwards in ONE
+        # program so the per-call fixed cost (tunnel RTT + dispatch) is
+        # paid once — p50 minus this is the transport floor, not compute
+        float(fwd_n(params, state, clip1, 1))
+        t0 = time.perf_counter()
+        float(fwd_n(params, state, clip1, 16))
+        dev_ms = (time.perf_counter() - t0) / 16 * 1000.0
     result = {
         "metric": "istvt_fwd_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -128,6 +138,8 @@ def main():
     }
     if lat_ms is not None:
         result["extra"]["p50_latency_ms_bs1"] = round(lat_ms, 2)
+    if dev_ms is not None:
+        result["extra"]["device_ms_bs1"] = round(dev_ms, 2)
     print(json.dumps(result))
 
 

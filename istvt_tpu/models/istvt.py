@@ -328,8 +328,19 @@ def apply(params, state, clips, cfg: ISTVTConfig = ISTVTConfig(),
     """
     b, t, hh, ww, c = clips.shape
     x = clips.reshape(b * t, hh, ww, c)
-    feats, ns = xception.low_level_features(params["xcep"], state["xcep"], x,
-                                            train, use_pallas=cfg.use_pallas)
+    if cfg.remat and train:
+        # the 300² entry-flow activations (B·T frames at 147²x64/128ch)
+        # dominate backward-pass HBM at large batch — B=32 training
+        # exceeds the 16 GB chip without rematerializing the stem
+        up = cfg.use_pallas
+        stem = jax.checkpoint(
+            lambda p_, s_, x_: xception.low_level_features(
+                p_, s_, x_, True, use_pallas=up))
+        feats, ns = stem(params["xcep"], state["xcep"], x)
+    else:
+        feats, ns = xception.low_level_features(
+            params["xcep"], state["xcep"], x, train,
+            use_pallas=cfg.use_pallas)
     fh = feats.shape[1]
     feats = feats.reshape(b, t, fh, fh, feats.shape[-1])
     out = dsttr_apply(params["vit"], feats, cfg, train=train, rng=rng,
