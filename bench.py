@@ -105,19 +105,20 @@ def main():
     # batched throughput)
     lat_ms = dev_ms = None
     if os.environ.get("BENCH_LATENCY", "1") == "1" and batch > 1:
+        # ONE bs=1 program serves both measurements (each distinct shape
+        # costs a full ~60-150s remote compile): p50 = median of single
+        # calls (includes the tunnel round trip, what a caller sees);
+        # device_ms = 16 chained forwards in one call, so the fixed cost
+        # is paid once — p50 minus device_ms is transport, not compute.
         clip1 = clips[:1]
-        float(fwd(params, state, clip1))
+        float(fwd_n(params, state, clip1, 1))  # compile + warm
         lat = []
         for i in range(5):
             t0 = time.perf_counter()
-            float(fwd(params, state, clip1 + 0.01 * (i + 1)))
+            float(fwd_n(params, state, clip1 + 0.01 * (i + 1), 1))
             lat.append(time.perf_counter() - t0)
         lat.sort()
         lat_ms = lat[len(lat) // 2] * 1000.0
-        # device-side bs=1 time: chain 16 single-clip forwards in ONE
-        # program so the per-call fixed cost (tunnel RTT + dispatch) is
-        # paid once — p50 minus this is the transport floor, not compute
-        float(fwd_n(params, state, clip1, 1))
         t0 = time.perf_counter()
         float(fwd_n(params, state, clip1, 16))
         dev_ms = (time.perf_counter() - t0) / 16 * 1000.0
