@@ -59,11 +59,6 @@ def main():
         params = istvt.quantize_params(params)
 
     @jax.jit
-    def fwd(params, state, clips):
-        logits, _ = istvt.apply(params, state, clips, cfg, train=False)
-        return jnp.sum(logits)
-
-    @jax.jit
     def fwd_n(params, state, clips, n):
         """n chained forwards in ONE device program: every iteration sees
         a DIFFERENT input (i-dependent perturbation) and the returned
