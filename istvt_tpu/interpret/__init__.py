@@ -6,6 +6,7 @@ from istvt_tpu.interpret.lrp import (  # noqa: F401
     generate_feature_relevance,
     generate_lrp,
 )
+from istvt_tpu.interpret.full_lrp import generate_full_lrp  # noqa: F401
 from istvt_tpu.interpret.heatmap import (  # noqa: F401
     bilinear_upsample,
     jet,
