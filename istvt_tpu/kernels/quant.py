@@ -315,3 +315,164 @@ def ln_ff_residual_q8_full(x, s, b, w1q, w1s, b1, w2q, w2s, b2):
     out = _ln_ff_q8_full_impl(flat, s, b, w1q, w1s, b1, w2q, w2s, b2,
                               interpret=interpret)
     return out.reshape(*lead, x.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Layer-boundary fusions (round 3): the int8 layer chain used to write
+# two (N, 728) intermediates to HBM per layer purely to re-read them in
+# the NEXT kernel — the temporal out-projection's result (consumed only
+# by the spatial LN+QKV GEMM) and the spatial out-projection's result
+# (consumed only by the FF block, which also needs it as its residual).
+# Fusing each boundary keeps the 728-wide stream in VMEM registers:
+# 2 x (write+read) x 60 MB x 12 layers ~ 3.6 ms/batch of HBM traffic
+# gone. The quantization points are IDENTICAL to the unfused chain; the
+# only numeric change is that the intermediate stays f32 instead of
+# taking a bf16 round trip (slightly MORE accurate).
+
+
+def _mm_q8_ln_mm_q8_kernel(a_ref, wq1_ref, ws1_ref, b1_ref, s_ref, b_ref,
+                           wq2_ref, ws2_ref, o_ref):
+    """out-proj (W8A8) -> LayerNorm -> QKV GEMM (W8A8), one pass."""
+    q, rs = _quant_rows(a_ref[...].astype(jnp.float32))
+    y = _q8_dot(q, wq1_ref[...]) * rs * ws1_ref[...].astype(jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    h = _ln(y, s_ref[...].astype(jnp.float32),
+            b_ref[...].astype(jnp.float32))
+    q2, rs2 = _quant_rows(h)
+    o = _q8_dot(q2, wq2_ref[...]) * rs2 * ws2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mm_q8_ln_mm_q8_impl(a, wq1, ws1, b1, s, b, wq2, ws2,
+                         interpret: bool = False):
+    n, d_in = a.shape
+    d_mid = wq1.shape[1]
+    k = wq2.shape[1]
+    np_, grid, tile = _row_tiles(n)
+    if np_ != n:
+        a = jnp.pad(a, ((0, np_ - n), (0, 0)))
+    vec = _vec_spec
+    out = pl.pallas_call(
+        _mm_q8_ln_mm_q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, k), a.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d_mid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(ws1), vec(b1), vec(s), vec(b),
+            pl.BlockSpec((d_mid, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(ws2),
+        ],
+        out_specs=pl.BlockSpec((tile, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * d_mid * (d_in + k),
+            bytes_accessed=np_ * (d_in + k) * a.dtype.itemsize
+            + d_in * d_mid + d_mid * k,
+            transcendentals=np_,
+        ),
+    )(a, wq1, ws1.reshape(1, -1), b1.reshape(1, -1), s.reshape(1, -1),
+      b.reshape(1, -1), wq2, ws2.reshape(1, -1))
+    return out[:n]
+
+
+def matmul_q8_ln_matmul_q8(a, wq1, ws1, b1, s, b, wq2, ws2):
+    """a @ dq(wq1) + b1 -> LN -> @ dq(wq2): the fused t-out-proj ->
+    spatial-LN -> spatial-QKV boundary; the (N, 728) intermediate never
+    touches HBM. a: (..., N, d_in) -> (..., N, wq2.shape[1])."""
+    lead = a.shape[:-1]
+    flat = a.reshape(-1, a.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out = _mm_q8_ln_mm_q8_impl(flat, wq1, ws1, b1, s, b, wq2, ws2,
+                               interpret=interpret)
+    return out.reshape(*lead, wq2.shape[1])
+
+
+def _mm_q8_res_ln_ff_q8_kernel(a_ref, r_ref, wqo_ref, wso_ref, bo_ref,
+                               s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
+                               w2q_ref, w2s_ref, b2_ref, o_ref):
+    """out-proj (W8A8) + residual -> PreNorm fully-int8 FF, one pass."""
+    q, rs = _quant_rows(a_ref[...].astype(jnp.float32))
+    y = _q8_dot(q, wqo_ref[...]) * rs * wso_ref[...].astype(jnp.float32) \
+        + bo_ref[...].astype(jnp.float32) \
+        + r_ref[...].astype(jnp.float32)
+    h = _ln(y, s_ref[...].astype(jnp.float32),
+            b_ref[...].astype(jnp.float32))
+    q1, rs1 = _quant_rows(h)
+    hid = _q8_dot(q1, w1q_ref[...]) * rs1 \
+        * w1s_ref[...].astype(jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    hid = jax.nn.gelu(hid, approximate=True)
+    q2, rs2 = _quant_rows(hid)
+    o = _q8_dot(q2, w2q_ref[...]) * rs2 \
+        * w2s_ref[...].astype(jnp.float32) \
+        + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = (o + y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mm_q8_res_ln_ff_q8_impl(a, r, wqo, wso, bo, s, b, w1q, w1s, b1,
+                             w2q, w2s, b2, interpret: bool = False):
+    n, d_in = a.shape
+    d = wqo.shape[1]
+    hdim = w1q.shape[1]
+    np_, grid, tile = _row_tiles(n, max_tile=256)
+    if np_ != n:
+        a = jnp.pad(a, ((0, np_ - n), (0, 0)))
+        r = jnp.pad(r, ((0, np_ - n), (0, 0)))
+    vec = _vec_spec
+    out = pl.pallas_call(
+        _mm_q8_res_ln_ff_q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, d), a.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(wso), vec(bo), vec(s), vec(b),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(w1s), vec(b1),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(w2s), vec(b2),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * d * (d_in + 4 * hdim // 2) + 2 * np_ * d * hdim,
+            bytes_accessed=np_ * (d_in + 2 * d) * a.dtype.itemsize
+            + d_in * d + 2 * d * hdim,
+            transcendentals=np_ * hdim,
+        ),
+    )(a, r, wqo, wso.reshape(1, -1), bo.reshape(1, -1), s.reshape(1, -1),
+      b.reshape(1, -1), w1q, w1s.reshape(1, -1), b1.reshape(1, -1),
+      w2q, w2s.reshape(1, -1), b2.reshape(1, -1))
+    return out[:n]
+
+
+def matmul_q8_res_ln_ff_q8_full(a, r, wqo, wso, bo, s, b, w1q, w1s, b1,
+                                w2q, w2s, b2):
+    """y = a @ dq(wqo) + bo + r;  return y + FF_int8(LN(y)) — the fused
+    spatial-out-proj -> residual -> PreNorm-FF boundary; y never touches
+    HBM. a: (..., N, d_in), r: (..., N, d) -> (..., N, d)."""
+    lead = a.shape[:-1]
+    fa = a.reshape(-1, a.shape[-1])
+    fr = r.reshape(-1, r.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out = _mm_q8_res_ln_ff_q8_impl(fa, fr, wqo, wso, bo, s, b, w1q, w1s,
+                                   b1, w2q, w2s, b2, interpret=interpret)
+    return out.reshape(*lead, wqo.shape[1])

@@ -206,6 +206,41 @@ def dsttr_apply(
 
     def run_layer(x, layer, bias_t, bias_s, frng):
         # x = attn_s(attn_t(x)) + x, both PreNorm (vivit.py:98-99)
+        if use_q8 and cfg.q8_ff == "full":
+            # Default int8 chain with the layer-BOUNDARY fusions
+            # (kernels/quant.py r3): the temporal out-projection feeds
+            # the spatial LN+QKV GEMM and the spatial out-projection
+            # (+residual) feeds the FF block inside ONE kernel each, so
+            # neither (N, 728) intermediate touches HBM (~3.6 ms/batch
+            # of traffic at B=16). Quantization points identical to the
+            # unfused chain.
+            from istvt_tpu.kernels.attention import (
+                spatial_attention_packed, temporal_attention_packed)
+            from istvt_tpu.kernels.quant import (
+                ln_matmul_q8, matmul_q8_ln_matmul_q8,
+                matmul_q8_res_ln_ff_q8_full)
+            at, asp, pf = layer["attn_t"], layer["attn_s"], layer["ff"]
+            q_t, q_s, q_f = at["q8"], asp["q8"], pf["q8"]
+            bq, nq = x.shape[0], x.shape[1]
+            t1 = nq // s
+            qkv_t = ln_matmul_q8(x, at["norm"]["scale"],
+                                 at["norm"]["bias"],
+                                 q_t["qkv_wq"], q_t["qkv_ws"])
+            inner = qkv_t.shape[-1] // 3
+            a_t = temporal_attention_packed(
+                qkv_t.reshape(bq, t1, s, 3 * inner), cfg.heads)
+            qkv_s = matmul_q8_ln_matmul_q8(
+                a_t.reshape(bq, nq, inner), q_t["out_wq"], q_t["out_ws"],
+                at["to_out"]["b"], asp["norm"]["scale"],
+                asp["norm"]["bias"], q_s["qkv_wq"], q_s["qkv_ws"])
+            a_s = spatial_attention_packed(
+                qkv_s.reshape(bq * t1, s, 3 * inner), cfg.heads, s_valid)
+            x = matmul_q8_res_ln_ff_q8_full(
+                a_s.reshape(bq, nq, inner), x, q_s["out_wq"],
+                q_s["out_ws"], asp["to_out"]["b"], pf["norm"]["scale"],
+                pf["norm"]["bias"], q_f["w1q"], q_f["w1s"],
+                pf["fc1"]["b"], q_f["w2q"], q_f["w2s"], pf["fc2"]["b"])
+            return x, None, None
         if use_q8:
             from istvt_tpu.kernels.mlp import ln_ff_residual
             out_t = A.temporal_block_q8(layer["attn_t"],
@@ -214,12 +249,12 @@ def dsttr_apply(
             x = A.spatial_block_q8(layer["attn_s"], layer["attn_s"]["q8"],
                                    out_t, cfg.heads, s, residual=x,
                                    n_valid=s_valid)
-            # FF default: FULLY int8 (both GEMMs W8A8 with the GELU
-            # hidden requantized in VMEM) — interleaved same-process A/B
-            # on the chip: full 263.1 clips/s, mixed (bf16 fc2) 248.0,
-            # bf16 FF 231.9. cfg.q8_ff keeps the slower variants
-            # reachable for experiments / accuracy studies (a config
-            # field, not an env var, so it participates in jit caching).
+            # FF variants kept for A/B and accuracy studies — interleaved
+            # same-process A/B on the chip (r2): full 263.1 clips/s,
+            # mixed (bf16 fc2) 248.0, bf16 FF 231.9. cfg.q8_ff is a
+            # config field, not an env var, so it participates in jit
+            # caching; the 'full' default takes the boundary-fused chain
+            # above instead of this composition.
             pf = layer["ff"]
             ff_mode = cfg.q8_ff
             if ff_mode == "mixed":

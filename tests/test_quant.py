@@ -139,3 +139,50 @@ def test_istvt_int8_preserves_synthetic_auc():
     auc_q = float(auc(logits_q.reshape(-1), batch["labels"]))
     assert auc_f > 0.9
     assert abs(auc_q - auc_f) < 0.02, (auc_f, auc_q)
+
+
+def test_boundary_fused_kernels_match_composed_chain():
+    """r3 layer-boundary fusions: matmul_q8_ln_matmul_q8 and
+    matmul_q8_res_ln_ff_q8_full must equal the 2-kernel compositions they
+    replace (identical quantization points; the only change is that the
+    728-wide intermediate never leaves VMEM)."""
+    from istvt_tpu.kernels.quant import (
+        ln_ff_residual_q8_full,
+        ln_matmul_q8,
+        matmul_q8_bias_residual,
+        matmul_q8_ln_matmul_q8,
+        matmul_q8_res_ln_ff_q8_full,
+        quantize_weight,
+    )
+
+    rng = np.random.RandomState(0)
+    n, d_in, d, k, h = 64, 512, 728, 1536, 2912
+    a = jnp.asarray(rng.randn(n, d_in) * 0.3, jnp.float32)
+    res = jnp.asarray(rng.randn(n, d) * 0.3, jnp.float32)
+    lns = jnp.asarray(rng.rand(d) + 0.5, jnp.float32)
+    lnb = jnp.asarray(rng.randn(d) * 0.01, jnp.float32)
+    bo = jnp.asarray(rng.randn(d) * 0.01, jnp.float32)
+    b1 = jnp.asarray(rng.randn(h) * 0.01, jnp.float32)
+    b2 = jnp.asarray(rng.randn(d) * 0.01, jnp.float32)
+    woq, wos = quantize_weight(
+        jnp.asarray(rng.randn(d_in, d) * 0.05, jnp.float32))
+    wqkvq, wqkvs = quantize_weight(
+        jnp.asarray(rng.randn(d, k) * 0.05, jnp.float32))
+    w1q, w1s = quantize_weight(
+        jnp.asarray(rng.randn(d, h) * 0.05, jnp.float32))
+    w2q, w2s = quantize_weight(
+        jnp.asarray(rng.randn(h, d) * 0.05, jnp.float32))
+
+    y = matmul_q8_bias_residual(a, woq, wos, bo, None)
+    want = ln_matmul_q8(y, lns, lnb, wqkvq, wqkvs)
+    got = matmul_q8_ln_matmul_q8(a, woq, wos, bo, lns, lnb, wqkvq, wqkvs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+    y2 = matmul_q8_bias_residual(a, woq, wos, bo, res)
+    want2 = ln_ff_residual_q8_full(y2, lns, lnb, w1q, w1s, b1,
+                                   w2q, w2s, b2)
+    got2 = matmul_q8_res_ln_ff_q8_full(a, res, woq, wos, bo, lns, lnb,
+                                       w1q, w1s, b1, w2q, w2s, b2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=2e-2, rtol=2e-2)
