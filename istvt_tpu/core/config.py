@@ -41,6 +41,12 @@ class ISTVTConfig:
     q8_ff: str = "full"            # int8 FF form: 'full' (fastest,
                                    # measured 263 clips/s) | 'mixed'
                                    # (int8 fc1 only, 248) | 'bf16' (232)
+    q8_attn: str = "ingest"        # int8 attention ingestion: 'ingest'
+                                   # (LN/out-proj+QKV GEMMs fused INTO
+                                   # the attention kernels — packed qkv
+                                   # never touches HBM) | 'boundary'
+                                   # (separate boundary-fused GEMM
+                                   # kernels; kept for A/B)
     remat: bool = False            # jax.checkpoint each ST layer (trades
                                    # recompute FLOPs for activation memory)
     # (compute/param dtype live on TrainConfig.compute_dtype — the model

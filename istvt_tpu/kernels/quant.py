@@ -476,3 +476,221 @@ def matmul_q8_res_ln_ff_q8_full(a, r, wqo, wso, bo, s, b, w1q, w1s, b1,
     out = _mm_q8_res_ln_ff_q8_impl(fa, fr, wqo, wso, bo, s, b, w1q, w1s,
                                    b1, w2q, w2s, b2, interpret=interpret)
     return out.reshape(*lead, wqo.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# Int8-ingest attention kernels (round 3, stage 2): the boundary-fused
+# chain above still writes each layer's packed-qkv tensors to HBM
+# (2 x (N, 3I) bf16 ~ 126 MB each at B=16) purely so the attention
+# kernels can read them back. Fusing the producing GEMMs INTO the
+# attention kernels keeps qkv entirely in VMEM:
+#   * temporal: LN -> QKV (W8A8) -> self-subtract attention, one kernel
+#     per batch element (kernels/attention._temporal_packed_kernel math);
+#   * spatial: t-out-proj (W8A8) + bias -> LN -> QKV (W8A8) -> per-frame
+#     attention, one kernel per (batch, frame)
+#     (kernels/attention._attn_kernel_mh_packed math).
+# ~2 x 252 MB/layer of HBM traffic gone (~6 GB/batch over 12 layers).
+# Quantization points and attention math are IDENTICAL to the composed
+# chain; qkv is cast to the activation dtype in VMEM exactly where the
+# composed chain's HBM round trip cast it. Serving-only (no vjp).
+# Reference numerics contract: network/vivit/module.py:66-93,174-208.
+
+
+def _ln_qkv_q8_temporal_kernel(x_ref, s_ref, b_ref, wq_ref, ws_ref,
+                               o_ref, qs_ref, ks_ref, vs_ref, *,
+                               scale: float, heads: int, inner: int):
+    """x (1, T1, S, D) -> LN -> int8 QKV GEMM -> packed self-subtract
+    temporal attention -> (1, T1, S, I). Segmented lane-reduce scheme
+    mirrors kernels/attention._temporal_packed_kernel."""
+    t1, s_len, d = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    xf = x_ref[0].reshape(t1 * s_len, d).astype(jnp.float32)
+    y = _ln(xf, s_ref[...].astype(jnp.float32),
+            b_ref[...].astype(jnp.float32))
+    qx, rs = _quant_rows(y)
+    acc = _q8_dot(qx, wq_ref[...]) * rs * ws_ref[...].astype(jnp.float32)
+    qkv = acc.reshape(t1, s_len, 3 * inner).astype(qs_ref.dtype)
+    q = qkv[..., :inner]
+    k = qkv[..., inner:2 * inner]
+    qs_ref[:] = jnp.concatenate([q[:2], q[2:] - q[1:-1]], axis=0)
+    ks_ref[:] = jnp.concatenate([k[:2], k[2:] - k[1:-1]], axis=0)
+    vs_ref[:] = qkv[..., 2 * inner:]
+    dh = inner // heads
+    m_seg = (jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 0) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 1)
+             ).astype(jnp.float32)               # (I, H)
+    e_exp = (jax.lax.broadcasted_iota(jnp.int32, (heads, inner), 1) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (heads, inner), 0)
+             ).astype(jnp.float32)               # (H, I)
+
+    def body(i, _):
+        qi = qs_ref[i].astype(jnp.float32)       # (S, I)
+        ls = []
+        for j in range(t1):
+            pj = qi * ks_ref[j].astype(jnp.float32)
+            ls.append(jax.lax.dot_general(
+                pj, m_seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)   # (S, H)
+        m = ls[0]
+        for j in range(1, t1):
+            m = jnp.maximum(m, ls[j])
+        es = [jnp.exp(l - m) for l in ls]
+        den = es[0]
+        for j in range(1, t1):
+            den = den + es[j]
+        acc_o = None
+        for j in range(t1):
+            w = jax.lax.dot_general(
+                es[j], e_exp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (S, I)
+            vj = vs_ref[j].astype(jnp.float32)
+            term = w * vj
+            acc_o = term if acc_o is None else acc_o + term
+        dnb = jax.lax.dot_general(
+            den, e_exp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, i] = (acc_o / dnb).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _ln_qkv_q8_temporal_impl(x, s, b, wq, ws, heads: int,
+                             interpret: bool = False):
+    bsz, t1, s_len, d = x.shape
+    i3 = wq.shape[1]
+    inner = i3 // 3
+    dh = inner // heads
+    scale = dh ** -0.5
+    vec = _vec_spec
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_q8_temporal_kernel, scale=scale,
+                          heads=heads, inner=inner),
+        out_shape=jax.ShapeDtypeStruct((bsz, t1, s_len, inner), x.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, t1, s_len, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(s), vec(b),
+            pl.BlockSpec((d, i3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(ws),
+        ],
+        out_specs=pl.BlockSpec((1, t1, s_len, inner),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t1, s_len, inner), x.dtype)] * 3,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * t1 * s_len * d * i3
+            + 2 * 2 * bsz * t1 * t1 * s_len * inner,
+            bytes_accessed=bsz * t1 * s_len * (d + inner)
+            * x.dtype.itemsize + d * i3,
+            transcendentals=bsz * t1 * s_len * (1 + t1 * heads),
+        ),
+    )(x, s.reshape(1, -1), b.reshape(1, -1), wq, ws.reshape(1, -1))
+
+
+def ln_qkv_q8_temporal_attention(x, s, b, wq, ws, heads: int):
+    """Fused LN -> int8 QKV -> self-subtract temporal attention:
+    x (B, T1, S, D) -> (B, T1, S, I); the (N, 3I) packed qkv never
+    touches HBM. Equals ln_matmul_q8 + temporal_attention_packed."""
+    interpret = jax.default_backend() != "tpu"
+    return _ln_qkv_q8_temporal_impl(x, s, b, wq, ws, heads,
+                                    interpret=interpret)
+
+
+def _mm_q8_ln_qkv_q8_spatial_kernel(a_ref, woq_ref, wos_ref, bo_ref,
+                                    s_ref, b_ref, wq_ref, ws_ref, o_ref,
+                                    *, scale: float, heads: int,
+                                    inner: int, n_valid: int):
+    """a (1, S, I_in) -> t-out-proj (W8A8) + bias -> LN -> int8 QKV GEMM
+    -> per-frame multi-head attention -> (1, S, I). Head/q/k/v selection
+    and pad-key masking mirror kernels/attention._attn_kernel_mh_packed."""
+    af = a_ref[0].astype(jnp.float32)            # (S, I_in)
+    qa, rsa = _quant_rows(af)
+    y = _q8_dot(qa, woq_ref[...]) * rsa * wos_ref[...].astype(jnp.float32) \
+        + bo_ref[...].astype(jnp.float32)
+    hn = _ln(y, s_ref[...].astype(jnp.float32),
+             b_ref[...].astype(jnp.float32))
+    qh, rsh = _quant_rows(hn)
+    x = (_q8_dot(qh, wq_ref[...]) * rsh
+         * ws_ref[...].astype(jnp.float32)).astype(o_ref.dtype)  # (S, 3I)
+    dh = inner // heads
+    s_len = x.shape[0]
+    mask = None
+    if n_valid < s_len:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
+        mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
+    for h in range(heads):
+        q = x[:, h * dh:(h + 1) * dh]
+        k = x[:, inner + h * dh:inner + (h + 1) * dh]
+        v = x[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (S, S) f32
+        if mask is not None:
+            sc = sc + mask
+        pr = jax.nn.softmax(sc, axis=-1)
+        o = jnp.dot(pr.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "n_valid", "interpret"))
+def _mm_q8_ln_qkv_q8_spatial_impl(a, woq, wos, bo, s, b, wq, ws,
+                                  heads: int, n_valid: int,
+                                  interpret: bool = False):
+    g, s_len, d_in = a.shape
+    d_mid = woq.shape[1]
+    i3 = wq.shape[1]
+    inner = i3 // 3
+    dh = inner // heads
+    scale = dh ** -0.5
+    vec = _vec_spec
+    return pl.pallas_call(
+        functools.partial(_mm_q8_ln_qkv_q8_spatial_kernel, scale=scale,
+                          heads=heads, inner=inner, n_valid=n_valid),
+        out_shape=jax.ShapeDtypeStruct((g, s_len, inner), a.dtype),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, s_len, d_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, d_mid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(wos), vec(bo), vec(s), vec(b),
+            pl.BlockSpec((d_mid, i3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(ws),
+        ],
+        out_specs=pl.BlockSpec((1, s_len, inner), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * s_len * d_mid * (d_in + i3)
+            + 2 * 2 * g * heads * s_len * s_len * dh,
+            bytes_accessed=g * s_len * (d_in + inner) * a.dtype.itemsize
+            + d_in * d_mid + d_mid * i3,
+            transcendentals=g * s_len * (1 + heads * s_len),
+        ),
+    )(a, woq, wos.reshape(1, -1), bo.reshape(1, -1), s.reshape(1, -1),
+      b.reshape(1, -1), wq, ws.reshape(1, -1))
+
+
+def mm_q8_ln_qkv_q8_spatial_attention(a, woq, wos, bo, s, b, wq, ws,
+                                      heads: int, n_valid: int = -1):
+    """Fused t-out-proj (W8A8) -> LN -> int8 QKV -> spatial attention:
+    a (G, S, I_in) -> (G, S, I); neither the (N, 728) out-proj result nor
+    the (N, 3I) packed qkv touches HBM. Equals matmul_q8_ln_matmul_q8 +
+    spatial_attention_packed."""
+    if n_valid < 0:
+        n_valid = a.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    return _mm_q8_ln_qkv_q8_spatial_impl(a, woq, wos, bo, s, b, wq, ws,
+                                         heads, n_valid,
+                                         interpret=interpret)

@@ -217,24 +217,43 @@ def dsttr_apply(
             from istvt_tpu.kernels.attention import (
                 spatial_attention_packed, temporal_attention_packed)
             from istvt_tpu.kernels.quant import (
-                ln_matmul_q8, matmul_q8_ln_matmul_q8,
-                matmul_q8_res_ln_ff_q8_full)
+                ln_matmul_q8, ln_qkv_q8_temporal_attention,
+                matmul_q8_ln_matmul_q8, matmul_q8_res_ln_ff_q8_full,
+                mm_q8_ln_qkv_q8_spatial_attention)
             at, asp, pf = layer["attn_t"], layer["attn_s"], layer["ff"]
             q_t, q_s, q_f = at["q8"], asp["q8"], pf["q8"]
             bq, nq = x.shape[0], x.shape[1]
             t1 = nq // s
-            qkv_t = ln_matmul_q8(x, at["norm"]["scale"],
-                                 at["norm"]["bias"],
-                                 q_t["qkv_wq"], q_t["qkv_ws"])
-            inner = qkv_t.shape[-1] // 3
-            a_t = temporal_attention_packed(
-                qkv_t.reshape(bq, t1, s, 3 * inner), cfg.heads)
-            qkv_s = matmul_q8_ln_matmul_q8(
-                a_t.reshape(bq, nq, inner), q_t["out_wq"], q_t["out_ws"],
-                at["to_out"]["b"], asp["norm"]["scale"],
-                asp["norm"]["bias"], q_s["qkv_wq"], q_s["qkv_ws"])
-            a_s = spatial_attention_packed(
-                qkv_s.reshape(bq * t1, s, 3 * inner), cfg.heads, s_valid)
+            if cfg.q8_attn == "ingest":
+                # Stage-2 fusion: the LN+QKV / out-proj+LN+QKV GEMMs run
+                # INSIDE the attention kernels, so neither (N, 3I)
+                # packed-qkv tensor ever touches HBM (~6 GB/batch gone
+                # over 12 layers at B=16).
+                inner = q_t["qkv_wq"].shape[1] // 3
+                a_t = ln_qkv_q8_temporal_attention(
+                    x.reshape(bq, t1, s, d), at["norm"]["scale"],
+                    at["norm"]["bias"], q_t["qkv_wq"], q_t["qkv_ws"],
+                    cfg.heads)
+                a_s = mm_q8_ln_qkv_q8_spatial_attention(
+                    a_t.reshape(bq * t1, s, inner), q_t["out_wq"],
+                    q_t["out_ws"], at["to_out"]["b"],
+                    asp["norm"]["scale"], asp["norm"]["bias"],
+                    q_s["qkv_wq"], q_s["qkv_ws"], cfg.heads, s_valid)
+            else:
+                qkv_t = ln_matmul_q8(x, at["norm"]["scale"],
+                                     at["norm"]["bias"],
+                                     q_t["qkv_wq"], q_t["qkv_ws"])
+                inner = qkv_t.shape[-1] // 3
+                a_t = temporal_attention_packed(
+                    qkv_t.reshape(bq, t1, s, 3 * inner), cfg.heads)
+                qkv_s = matmul_q8_ln_matmul_q8(
+                    a_t.reshape(bq, nq, inner), q_t["out_wq"],
+                    q_t["out_ws"], at["to_out"]["b"],
+                    asp["norm"]["scale"], asp["norm"]["bias"],
+                    q_s["qkv_wq"], q_s["qkv_ws"])
+                a_s = spatial_attention_packed(
+                    qkv_s.reshape(bq * t1, s, 3 * inner), cfg.heads,
+                    s_valid)
             x = matmul_q8_res_ln_ff_q8_full(
                 a_s.reshape(bq, nq, inner), x, q_s["out_wq"],
                 q_s["out_ws"], asp["to_out"]["b"], pf["norm"]["scale"],

@@ -186,3 +186,79 @@ def test_boundary_fused_kernels_match_composed_chain():
                                        w1q, w1s, b1, w2q, w2s, b2)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_attn_ingest_kernels_match_composed_chain():
+    """r3 stage-2 fusions: ln_qkv_q8_temporal_attention and
+    mm_q8_ln_qkv_q8_spatial_attention must equal the GEMM-kernel +
+    attention-kernel compositions they replace (identical quantization
+    points; packed qkv just never leaves VMEM)."""
+    from istvt_tpu.kernels.attention import (
+        spatial_attention_packed,
+        temporal_attention_packed,
+    )
+    from istvt_tpu.kernels.quant import (
+        ln_qkv_q8_temporal_attention,
+        matmul_q8_ln_matmul_q8,
+        mm_q8_ln_qkv_q8_spatial_attention,
+    )
+
+    rng = np.random.RandomState(1)
+    b, t1, s, d, heads, inner = 2, 4, 32, 128, 4, 64
+    n_valid = 26
+    x = jnp.asarray(rng.randn(b, t1, s, d) * 0.3, jnp.float32)
+    lns = jnp.asarray(rng.rand(d) + 0.5, jnp.float32)
+    lnb = jnp.asarray(rng.randn(d) * 0.01, jnp.float32)
+    wqkvq, wqkvs = quantize_weight(
+        jnp.asarray(rng.randn(d, 3 * inner) * 0.05, jnp.float32))
+
+    qkv = ln_matmul_q8(x.reshape(b, t1 * s, d), lns, lnb, wqkvq, wqkvs)
+    want_t = temporal_attention_packed(
+        qkv.reshape(b, t1, s, 3 * inner), heads)
+    got_t = ln_qkv_q8_temporal_attention(x, lns, lnb, wqkvq, wqkvs,
+                                         heads)
+    np.testing.assert_allclose(np.asarray(got_t),
+                               np.asarray(want_t.reshape(b, t1, s, inner)),
+                               atol=2e-2, rtol=2e-2)
+
+    # spatial: t-out-proj + LN + QKV + masked per-frame attention
+    woq, wos = quantize_weight(
+        jnp.asarray(rng.randn(inner, d) * 0.05, jnp.float32))
+    bo = jnp.asarray(rng.randn(d) * 0.01, jnp.float32)
+    lns2 = jnp.asarray(rng.rand(d) + 0.5, jnp.float32)
+    lnb2 = jnp.asarray(rng.randn(d) * 0.01, jnp.float32)
+    wq2, ws2 = quantize_weight(
+        jnp.asarray(rng.randn(d, 3 * inner) * 0.05, jnp.float32))
+    a_t = jnp.asarray(rng.randn(b * t1, s, inner) * 0.3, jnp.float32)
+
+    qkv_s = matmul_q8_ln_matmul_q8(
+        a_t.reshape(b, t1 * s, inner), woq, wos, bo, lns2, lnb2,
+        wq2, ws2)
+    want_s = spatial_attention_packed(
+        qkv_s.reshape(b * t1, s, 3 * inner), heads, n_valid)
+    got_s = mm_q8_ln_qkv_q8_spatial_attention(
+        a_t, woq, wos, bo, lns2, lnb2, wq2, ws2, heads, n_valid)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_istvt_int8_ingest_matches_boundary_chain():
+    """End-to-end: q8_attn='ingest' (default) and 'boundary' are the same
+    math modulo VMEM-vs-HBM intermediates — logits must track closely."""
+    import dataclasses
+
+    from istvt_tpu.models import istvt
+    from istvt_tpu.models.registry import model_selection
+
+    cfg_i = ISTVTConfig(**TINY, use_pallas=True, quantize="int8")
+    cfg_b = dataclasses.replace(cfg_i, q8_attn="boundary")
+    model = model_selection("istvt", num_out_classes=1, cfg=cfg_i)
+    params, state = model.init(jax.random.PRNGKey(0))
+    qparams = istvt.quantize_params(params)
+    clips = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 72, 72, 3),
+                              jnp.float32)
+    logits_i, _ = istvt.apply(qparams, state, clips, cfg_i)
+    logits_b, _ = istvt.apply(qparams, state, clips, cfg_b)
+    np.testing.assert_allclose(np.asarray(logits_i),
+                               np.asarray(logits_b),
+                               atol=2e-2, rtol=2e-2)
