@@ -694,3 +694,213 @@ def mm_q8_ln_qkv_q8_spatial_attention(a, woq, wos, bo, s, b, wq, ws,
     return _mm_q8_ln_qkv_q8_spatial_impl(a, woq, wos, bo, s, b, wq, ws,
                                          heads, n_valid,
                                          interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Whole-layer mega-kernel (round 3, stage 3): one pallas_call per ST
+# layer per batch element. Beyond the ingest fusions above, the
+# temporal-attention output a_t, the spatial qkv, the spatial-attention
+# output a_s, AND the residual re-read of x all stay in VMEM — per layer
+# the only HBM traffic left is read x + write x' (~120 MB/batch vs ~348
+# for the 3-kernel ingest chain). Same quantization points; the
+# attention/FF math is the composition of the kernels above.
+# Reference layer law: x = attn_s(attn_t(x)) + x, PreNorm FF residual
+# (network/vivit/vivit.py:85-101, module.py:23-93,174-208).
+
+
+def _st_layer_q8_kernel(x_ref, st_ref, bt_ref, wqt_ref, wst_ref,
+                        wot_ref, sot_ref, bot_ref,
+                        ss_ref, bs_ref, wqs_ref, wss_ref,
+                        wos_ref, sos_ref, bos_ref,
+                        sf_ref, bf_ref, w1q_ref, w1s_ref, b1_ref,
+                        w2q_ref, w2s_ref, b2_ref, o_ref,
+                        qs_ref, ks_ref, vs_ref, at_ref, qkvs_ref, as_ref,
+                        *, scale: float, heads: int, inner: int,
+                        n_valid: int):
+    t1, s_len, d = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    n = t1 * s_len
+    dh = inner // heads
+    x = x_ref[0].reshape(n, d)
+    # --- temporal branch: LN -> int8 QKV -> self-subtract attention ---
+    y = _ln(x.astype(jnp.float32), st_ref[...].astype(jnp.float32),
+            bt_ref[...].astype(jnp.float32))
+    qx, rs = _quant_rows(y)
+    acc = _q8_dot(qx, wqt_ref[...]) * rs * wst_ref[...].astype(jnp.float32)
+    qkv = acc.reshape(t1, s_len, 3 * inner).astype(qs_ref.dtype)
+    q = qkv[..., :inner]
+    k = qkv[..., inner:2 * inner]
+    qs_ref[:] = jnp.concatenate([q[:2], q[2:] - q[1:-1]], axis=0)
+    ks_ref[:] = jnp.concatenate([k[:2], k[2:] - k[1:-1]], axis=0)
+    vs_ref[:] = qkv[..., 2 * inner:]
+    m_seg = (jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 0) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 1)
+             ).astype(jnp.float32)
+    e_exp = (jax.lax.broadcasted_iota(jnp.int32, (heads, inner), 1) // dh
+             == jax.lax.broadcasted_iota(jnp.int32, (heads, inner), 0)
+             ).astype(jnp.float32)
+
+    def t_body(i, _):
+        qi = qs_ref[i].astype(jnp.float32)
+        ls = []
+        for j in range(t1):
+            pj = qi * ks_ref[j].astype(jnp.float32)
+            ls.append(jax.lax.dot_general(
+                pj, m_seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        m = ls[0]
+        for j in range(1, t1):
+            m = jnp.maximum(m, ls[j])
+        es = [jnp.exp(l - m) for l in ls]
+        den = es[0]
+        for j in range(1, t1):
+            den = den + es[j]
+        acc_o = None
+        for j in range(t1):
+            w = jax.lax.dot_general(
+                es[j], e_exp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            term = w * vs_ref[j].astype(jnp.float32)
+            acc_o = term if acc_o is None else acc_o + term
+        dnb = jax.lax.dot_general(
+            den, e_exp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        at_ref[i] = (acc_o / dnb).astype(at_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t1, t_body, 0)
+    # --- spatial branch: out-proj -> LN -> int8 QKV -> per-frame attn ---
+    a_t = at_ref[:].reshape(n, inner).astype(jnp.float32)
+    qa, rsa = _quant_rows(a_t)
+    yt = _q8_dot(qa, wot_ref[...]) * rsa * sot_ref[...].astype(jnp.float32) \
+        + bot_ref[...].astype(jnp.float32)
+    hs = _ln(yt, ss_ref[...].astype(jnp.float32),
+             bs_ref[...].astype(jnp.float32))
+    qh, rsh = _quant_rows(hs)
+    qkvs = (_q8_dot(qh, wqs_ref[...]) * rsh
+            * wss_ref[...].astype(jnp.float32)).astype(qkvs_ref.dtype)
+    qkvs_ref[:] = qkvs.reshape(t1, s_len, 3 * inner)
+    mask = None
+    if n_valid < s_len:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
+        mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
+
+    def s_body(j, _):
+        xf = qkvs_ref[j]                          # (S, 3I)
+        for h in range(heads):
+            qf = xf[:, h * dh:(h + 1) * dh]
+            kf = xf[:, inner + h * dh:inner + (h + 1) * dh]
+            vf = xf[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+            sc = jax.lax.dot_general(
+                qf, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                sc = sc + mask
+            pr = jax.nn.softmax(sc, axis=-1)
+            o = jnp.dot(pr.astype(vf.dtype), vf,
+                        preferred_element_type=jnp.float32)
+            as_ref[j, :, h * dh:(h + 1) * dh] = o.astype(as_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t1, s_body, 0)
+    # --- out-proj + residual -> PreNorm fully-int8 FF ---
+    a_s = as_ref[:].reshape(n, inner).astype(jnp.float32)
+    qo, rso = _quant_rows(a_s)
+    yr = _q8_dot(qo, wos_ref[...]) * rso * sos_ref[...].astype(jnp.float32) \
+        + bos_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
+    hf = _ln(yr, sf_ref[...].astype(jnp.float32),
+             bf_ref[...].astype(jnp.float32))
+    q1, rs1 = _quant_rows(hf)
+    hid = _q8_dot(q1, w1q_ref[...]) * rs1 \
+        * w1s_ref[...].astype(jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    hid = jax.nn.gelu(hid, approximate=True)
+    q2, rs2 = _quant_rows(hid)
+    out = _q8_dot(q2, w2q_ref[...]) * rs2 \
+        * w2s_ref[...].astype(jnp.float32) \
+        + b2_ref[...].astype(jnp.float32)
+    o_ref[0] = (out + yr).reshape(t1, s_len, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "n_valid",
+                                             "interpret"))
+def _st_layer_q8_impl(x, st, bt, wqt, wst, wot, sot, bot,
+                      ss, bs, wqs, wss, wos, sos, bos,
+                      sf, bf, w1q, w1s, b1, w2q, w2s, b2,
+                      heads: int, n_valid: int, interpret: bool = False):
+    bsz, t1, s_len, d = x.shape
+    i3 = wqt.shape[1]
+    inner = i3 // 3
+    hdim = w1q.shape[1]
+    dh = inner // heads
+    scale = dh ** -0.5
+    vec = _vec_spec
+    mat = lambda w: pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((1, t1, s_len, d), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    n = t1 * s_len
+    return pl.pallas_call(
+        functools.partial(_st_layer_q8_kernel, scale=scale, heads=heads,
+                          inner=inner, n_valid=n_valid),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(bsz,),
+        in_specs=[
+            blk,
+            vec(st), vec(bt), mat(wqt), vec(wst),
+            mat(wot), vec(sot), vec(bot),
+            vec(ss), vec(bs), mat(wqs), vec(wss),
+            mat(wos), vec(sos), vec(bos),
+            vec(sf), vec(bf), mat(w1q), vec(w1s), vec(b1),
+            mat(w2q), vec(w2s), vec(b2),
+        ],
+        out_specs=blk,
+        scratch_shapes=[
+            pltpu.VMEM((t1, s_len, inner), x.dtype),   # qs
+            pltpu.VMEM((t1, s_len, inner), x.dtype),   # ks
+            pltpu.VMEM((t1, s_len, inner), x.dtype),   # vs
+            pltpu.VMEM((t1, s_len, inner), x.dtype),   # a_t
+            pltpu.VMEM((t1, s_len, 3 * inner), x.dtype),  # qkv_s
+            pltpu.VMEM((t1, s_len, inner), x.dtype),   # a_s
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * (d * i3 + inner * d + d * i3
+                                 + inner * d + 2 * d * hdim)
+            + 2 * 2 * bsz * t1 * t1 * s_len * inner
+            + 2 * 2 * bsz * t1 * heads * s_len * s_len * dh,
+            bytes_accessed=2 * bsz * n * d * x.dtype.itemsize
+            + 2 * d * i3 + 2 * inner * d + 2 * d * hdim,
+            transcendentals=bsz * n * (3 + t1 * heads + heads * s_len
+                                       + hdim),
+        ),
+    )(x, st.reshape(1, -1), bt.reshape(1, -1), wqt, wst.reshape(1, -1),
+      wot, sot.reshape(1, -1), bot.reshape(1, -1),
+      ss.reshape(1, -1), bs.reshape(1, -1), wqs, wss.reshape(1, -1),
+      wos, sos.reshape(1, -1), bos.reshape(1, -1),
+      sf.reshape(1, -1), bf.reshape(1, -1), w1q, w1s.reshape(1, -1),
+      b1.reshape(1, -1), w2q, w2s.reshape(1, -1), b2.reshape(1, -1))
+
+
+def st_layer_q8(x, layer, heads: int, n_valid: int = -1):
+    """One full int8 ST layer (temporal attn -> spatial attn -> FF, all
+    residual/PreNorm plumbing included) as a single Pallas program per
+    batch element: x (B, T1, S, D) -> (B, T1, S, D). `layer` is the
+    quantized param subtree (attn_t/attn_s/ff with 'q8' leaves)."""
+    if n_valid < 0:
+        n_valid = x.shape[2]
+    at, asp, pf = layer["attn_t"], layer["attn_s"], layer["ff"]
+    q_t, q_s, q_f = at["q8"], asp["q8"], pf["q8"]
+    interpret = jax.default_backend() != "tpu"
+    return _st_layer_q8_impl(
+        x, at["norm"]["scale"], at["norm"]["bias"],
+        q_t["qkv_wq"], q_t["qkv_ws"],
+        q_t["out_wq"], q_t["out_ws"], at["to_out"]["b"],
+        asp["norm"]["scale"], asp["norm"]["bias"],
+        q_s["qkv_wq"], q_s["qkv_ws"],
+        q_s["out_wq"], q_s["out_ws"], asp["to_out"]["b"],
+        pf["norm"]["scale"], pf["norm"]["bias"],
+        q_f["w1q"], q_f["w1s"], pf["fc1"]["b"],
+        q_f["w2q"], q_f["w2s"], pf["fc2"]["b"],
+        heads, n_valid, interpret=interpret)

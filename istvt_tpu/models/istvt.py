@@ -224,6 +224,14 @@ def dsttr_apply(
             q_t, q_s, q_f = at["q8"], asp["q8"], pf["q8"]
             bq, nq = x.shape[0], x.shape[1]
             t1 = nq // s
+            if cfg.q8_attn == "layer":
+                # Stage-3 mega-kernel: the ENTIRE layer runs as one
+                # Pallas program per batch element; only x enters/leaves
+                # HBM (kernels/quant.st_layer_q8).
+                from istvt_tpu.kernels.quant import st_layer_q8
+                x = st_layer_q8(x.reshape(bq, t1, s, d), layer,
+                                cfg.heads, s_valid)
+                return x.reshape(bq, nq, d), None, None
             if cfg.q8_attn == "ingest":
                 # Stage-2 fusion: the LN+QKV / out-proj+LN+QKV GEMMs run
                 # INSIDE the attention kernels, so neither (N, 3I)

@@ -262,3 +262,9 @@ def test_istvt_int8_ingest_matches_boundary_chain():
     np.testing.assert_allclose(np.asarray(logits_i),
                                np.asarray(logits_b),
                                atol=2e-2, rtol=2e-2)
+    # stage-3 whole-layer mega-kernel: same math again
+    cfg_l = dataclasses.replace(cfg_i, q8_attn="layer")
+    logits_l, _ = istvt.apply(qparams, state, clips, cfg_l)
+    np.testing.assert_allclose(np.asarray(logits_l),
+                               np.asarray(logits_b),
+                               atol=2e-2, rtol=2e-2)
