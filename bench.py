@@ -33,7 +33,9 @@ def main():
 
     platform = jax.devices()[0].platform
     # batch size: saturate the MXU on TPU; stay small on CPU fallback
-    batch = int(os.environ.get("BENCH_BATCH", "16" if platform == "tpu" else "1"))
+    # B=32 measured faster per clip than 16 (3.29 vs 3.37 ms int8) —
+    # fixed per-kernel overheads amortize further
+    batch = int(os.environ.get("BENCH_BATCH", "32" if platform == "tpu" else "1"))
     # 32 chained iterations: the per-CALL fixed cost (tunnel round trip +
     # dispatch, measured ~33 ms — see BASELINE.md bs=1 note) amortizes to
     # ~1 ms/iter; device time per batch is what remains

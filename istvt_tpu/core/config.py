@@ -41,6 +41,13 @@ class ISTVTConfig:
     q8_ff: str = "full"            # int8 FF form: 'full' (fastest,
                                    # measured 263 clips/s) | 'mixed'
                                    # (int8 fc1 only, 248) | 'bf16' (232)
+    stem_store: str = "f8"         # int8-serving stem activation
+                                   # STORAGE dtype: 'f8' (e4m3 inter-conv
+                                   # tensors; the bandwidth-bound stem
+                                   # drops 14.5 -> 12.5 ms/96-frames;
+                                   # accuracy gated by tests/test_quant)
+                                   # | 'bf16'. Float/train paths ignore
+                                   # it (compute is never f8).
     q8_attn: str = "ingest"        # int8 attention ingestion: 'ingest'
                                    # (LN/out-proj+QKV GEMMs fused INTO
                                    # the attention kernels — packed qkv

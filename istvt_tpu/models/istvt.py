@@ -400,9 +400,15 @@ def apply(params, state, clips, cfg: ISTVTConfig = ISTVTConfig(),
                 p_, s_, x_, True, use_pallas=up))
         feats, ns = stem(params["xcep"], state["xcep"], x)
     else:
+        # int8 serving stores inter-conv stem activations as f8_e4m3:
+        # the stem is ~100% HBM-bandwidth-bound and XLA fuses the
+        # converts into the conv fusions (models/xception.block_apply)
+        store = jnp.float8_e4m3fn if (not train and
+                                      cfg.quantize == "int8" and
+                                      cfg.stem_store == "f8") else None
         feats, ns = xception.low_level_features(
             params["xcep"], state["xcep"], x, train,
-            use_pallas=cfg.use_pallas)
+            use_pallas=cfg.use_pallas, store_dtype=store)
     fh = feats.shape[1]
     feats = feats.reshape(b, t, fh, fh, feats.shape[-1])
     out = dsttr_apply(params["vit"], feats, cfg, train=train, rng=rng,

@@ -92,7 +92,8 @@ def block_init(key, spec):
     return p, s
 
 
-def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False):
+def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False,
+                store_dtype=None, compute_dtype=None):
     """Residual sepconv block (reference network/xception.py:52-101).
 
     use_pallas is accepted for signature stability but the XLA path is
@@ -101,25 +102,47 @@ def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False):
     XLA's lowering on v5e (74^2: 5.7 vs 4.2 ms; 37^2: 6.8 vs 5.8; the
     147^2 shape exceeds the remote compiler) — Mosaic's sublane-shifted
     depthwise taps cost more than XLA's conv schedule. Kept unwired as a
-    documented negative result."""
+    documented negative result.
+
+    store_dtype (serving-only): when set (f8_e4m3), inter-conv
+    activations are STORED in that dtype — XLA fuses the converts into
+    the conv input/output fusions, halving the stem's HBM traffic (the
+    stem is ~100% bandwidth-bound; measured 14.5 -> 12.5 ms/96-frames).
+    Compute stays in x.dtype; the ~6% elementwise feature error (3-bit
+    mantissa) is gated by the int8 accuracy tests (tests/test_quant.py).
+    """
     _, _, _, stride, start_with_relu, _ = spec
+    cd = x.dtype if store_dtype is None else (compute_dtype or jnp.bfloat16)
+    up = lambda v: v if v.dtype == cd else v.astype(cd)
+    cast = (lambda v: v.astype(store_dtype)) if store_dtype is not None \
+        else (lambda v: v)
     y = x
     ns = {"rep": []}
     for i, unit in enumerate(p["rep"]):
         if i > 0 or start_with_relu:
-            y = relu(y)
-        y = separable_conv2d(unit["sep"], y, stride=1, padding=1)
+            y = relu(up(y))
+        if store_dtype is not None:
+            # split the sepconv so the depthwise intermediate stores
+            # compressed too (it is one of the largest stem tensors)
+            c = up(y).shape[-1]
+            y = cast(conv2d(unit["sep"]["dw"], up(y), stride=1,
+                            padding=1, groups=c))
+            y = conv2d(unit["sep"]["pw"], up(y), stride=1, padding=0)
+        else:
+            y = separable_conv2d(unit["sep"], y, stride=1, padding=1)
         y, bs = batchnorm(unit["bn"], s["rep"][i]["bn"], y, train)
+        y = cast(y)
         ns["rep"].append({"bn": bs})
+    y = up(y)
     if stride != 1:
         y = max_pool2d(y, 3, stride, 1)
     if "skip" in p:
-        skip = conv2d(p["skip"], x, stride=stride, padding=0)
+        skip = conv2d(p["skip"], up(x), stride=stride, padding=0)
         skip, sk = batchnorm(p["skipbn"], s["skipbn"], skip, train)
         ns["skipbn"] = sk
     else:
-        skip = x
-    return y + skip, ns
+        skip = up(x)
+    return cast(y + skip), ns
 
 
 def init(key, cfg: XceptionConfig = XceptionConfig()):
@@ -140,39 +163,52 @@ def init(key, cfg: XceptionConfig = XceptionConfig()):
     return p, s
 
 
-def _entry(p, s, x, train):
+def _entry(p, s, x, train, store_dtype=None):
+    cast = (lambda v: v.astype(store_dtype)) if store_dtype is not None \
+        else (lambda v: v)
+    cd = x.dtype
+    up = lambda v: v if v.dtype == cd else v.astype(cd)
     ns = {}
     x = conv2d(p["conv1"], x, stride=2, padding=0)
     x, ns["bn1"] = batchnorm(p["bn1"], s["bn1"], x, train)
-    x = relu(x)
-    x = conv2d(p["conv2"], x, stride=1, padding=0)
+    x = cast(relu(x))
+    x = conv2d(p["conv2"], up(x), stride=1, padding=0)
     x, ns["bn2"] = batchnorm(p["bn2"], s["bn2"], x, train)
-    x = relu(x)
+    x = cast(relu(x))
     return x, ns
 
 
 def mid_features(p, s, x, through_block: int, train: bool = False,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, store_dtype=None):
     """conv1..block{through_block}. through=3 is the ISTVT stem
     (reference network/xception.py:193-206).
 
     State for stages NOT run passes through unchanged so the returned
-    state tree always matches the init tree (stable checkpoints/pjit)."""
+    state tree always matches the init tree (stable checkpoints/pjit).
+
+    store_dtype: optional compressed storage dtype for the inter-conv
+    activations (see block_apply); the returned features are always in
+    the input compute dtype."""
+    cd = x.dtype
     ns = dict(s)
-    x, ent = _entry(p, s, x, train)
+    x, ent = _entry(p, s, x, train, store_dtype=store_dtype)
     ns.update(ent)
     for i in range(1, through_block + 1):
         name = f"block{i}"
         x, ns[name] = block_apply(p[name], s[name], x, BLOCK_SPECS[i - 1],
-                                  train, use_pallas=use_pallas)
+                                  train, use_pallas=use_pallas,
+                                  store_dtype=store_dtype,
+                                  compute_dtype=cd)
+    if x.dtype != cd:
+        x = x.astype(cd)
     return x, ns
 
 
 def low_level_features(p, s, x, train: bool = False,
                        cfg: XceptionConfig = XceptionConfig(),
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, store_dtype=None):
     return mid_features(p, s, x, cfg.low_level_through, train,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, store_dtype=store_dtype)
 
 
 def tail_features(p, s, x, from_block: int = 8, train: bool = False):

@@ -268,3 +268,39 @@ def test_istvt_int8_ingest_matches_boundary_chain():
     np.testing.assert_allclose(np.asarray(logits_l),
                                np.asarray(logits_b),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_f8_stem_storage_feature_fidelity():
+    """Serving-only f8 activation storage in the stem (stem_store='f8'):
+    features must track the bf16/f32 stem within the 3-bit-mantissa
+    error envelope, and the e2e logits within the int8 serving gate."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from istvt_tpu.models import istvt, xception
+
+    p, s = xception.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 72, 72, 3),
+                          jnp.float32)
+    f_ref, _ = xception.low_level_features(p, s, x)
+    f_f8, _ = xception.low_level_features(
+        p, s, x, store_dtype=jnp.float8_e4m3fn)
+    assert f_f8.dtype == f_ref.dtype
+    ref = np.asarray(f_ref, np.float32)
+    d = np.abs(np.asarray(f_f8, np.float32) - ref)
+    # elementwise: bounded by the e4m3 relative step; aggregate: small
+    assert d.mean() / (np.abs(ref).mean() + 1e-9) < 0.08, d.mean()
+
+    # e2e: f8 stem vs bf16 stem under int8 serving
+    cfg8 = ISTVTConfig(**TINY, use_pallas=True, quantize="int8")
+    cfg16 = dataclasses.replace(cfg8, stem_store="bf16")
+    model_cfg = cfg8
+    params, state = istvt.init(jax.random.PRNGKey(0), model_cfg)
+    qparams = istvt.quantize_params(params)
+    clips = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 72, 72, 3),
+                              jnp.float32)
+    l8, _ = istvt.apply(qparams, state, clips, cfg8)
+    l16, _ = istvt.apply(qparams, state, clips, cfg16)
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l16),
+                               atol=5e-2, rtol=5e-2)
