@@ -118,31 +118,59 @@ def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False,
         else (lambda v: v)
     y = x
     ns = {"rep": []}
-    for i, unit in enumerate(p["rep"]):
-        if i > 0 or start_with_relu:
-            y = relu(up(y))
-        if store_dtype is not None:
-            # split the sepconv so the depthwise intermediate stores
-            # compressed too (it is one of the largest stem tensors)
+    if store_dtype is not None:
+        # Serving-only compressed-storage path. Two fusion-shaping moves
+        # (profiled: a bare f8 cast after conv->BN SPLITS the conv output
+        # fusion, adding a bf16 materialization + a separate BN+convert
+        # pass — ~12 ms/batch32 of 'add_convert_fusion'):
+        #  * eval-BN folds into the pointwise/skip conv weights (w*A,
+        #    bias B), so the conv epilogue is just bias + f8 convert;
+        #  * each unit's FOLLOWING pre-sepconv relu runs in the producing
+        #    epilogue instead of as a read-modify-write pass.
+        reps = len(p["rep"])
+        for i, unit in enumerate(p["rep"]):
+            if i == 0 and start_with_relu:
+                y = relu(up(y))
             c = up(y).shape[-1]
             y = cast(conv2d(unit["sep"]["dw"], up(y), stride=1,
                             padding=1, groups=c))
-            y = conv2d(unit["sep"]["pw"], up(y), stride=1, padding=0)
+            a, bb = _bn_affine(unit["bn"], s["rep"][i]["bn"])
+            pw_f = {"w": (unit["sep"]["pw"]["w"].astype(jnp.float32)
+                          * a).astype(cd),
+                    "b": bb.astype(cd)}
+            z = conv2d(pw_f, up(y), stride=1, padding=0)
+            if i + 1 < reps:
+                z = relu(z)   # the next unit's pre-relu, fused here
+            y = cast(z)
+            ns["rep"].append({"bn": s["rep"][i]["bn"]})
+        y = up(y)
+        if stride != 1:
+            y = max_pool2d(y, 3, stride, 1)
+        if "skip" in p:
+            a, bb = _bn_affine(p["skipbn"], s["skipbn"])
+            sk_f = {"w": (p["skip"]["w"].astype(jnp.float32)
+                          * a).astype(cd),
+                    "b": bb.astype(cd)}
+            skip = conv2d(sk_f, up(x), stride=stride, padding=0)
+            ns["skipbn"] = s["skipbn"]
         else:
-            y = separable_conv2d(unit["sep"], y, stride=1, padding=1)
+            skip = up(x)
+        return cast(y + skip), ns
+    for i, unit in enumerate(p["rep"]):
+        if i > 0 or start_with_relu:
+            y = relu(y)
+        y = separable_conv2d(unit["sep"], y, stride=1, padding=1)
         y, bs = batchnorm(unit["bn"], s["rep"][i]["bn"], y, train)
-        y = cast(y)
         ns["rep"].append({"bn": bs})
-    y = up(y)
     if stride != 1:
         y = max_pool2d(y, 3, stride, 1)
     if "skip" in p:
-        skip = conv2d(p["skip"], up(x), stride=stride, padding=0)
+        skip = conv2d(p["skip"], x, stride=stride, padding=0)
         skip, sk = batchnorm(p["skipbn"], s["skipbn"], skip, train)
         ns["skipbn"] = sk
     else:
-        skip = up(x)
-    return cast(y + skip), ns
+        skip = x
+    return y + skip, ns
 
 
 def init(key, cfg: XceptionConfig = XceptionConfig()):
@@ -163,18 +191,38 @@ def init(key, cfg: XceptionConfig = XceptionConfig()):
     return p, s
 
 
+def _bn_affine(bn_p, bn_s, eps: float = 1e-5):
+    """Eval-mode BN as (A, B) f32 with y = x*A + B — folds into the
+    preceding conv's weights on the serving path (numerics: the same
+    affine, applied associatively to the weights)."""
+    inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + eps)
+    a = bn_p["scale"].astype(jnp.float32) * inv
+    b = bn_p["bias"].astype(jnp.float32) \
+        - bn_s["mean"].astype(jnp.float32) * a
+    return a, b
+
+
 def _entry(p, s, x, train, store_dtype=None):
-    cast = (lambda v: v.astype(store_dtype)) if store_dtype is not None \
-        else (lambda v: v)
     cd = x.dtype
     up = lambda v: v if v.dtype == cd else v.astype(cd)
     ns = {}
+    if store_dtype is not None:
+        a, bb = _bn_affine(p["bn1"], s["bn1"])
+        c1 = {"w": (p["conv1"]["w"].astype(jnp.float32) * a).astype(cd),
+              "b": bb.astype(cd)}
+        x = relu(conv2d(c1, x, stride=2, padding=0)).astype(store_dtype)
+        a, bb = _bn_affine(p["bn2"], s["bn2"])
+        c2 = {"w": (p["conv2"]["w"].astype(jnp.float32) * a).astype(cd),
+              "b": bb.astype(cd)}
+        x = relu(conv2d(c2, up(x), stride=1,
+                        padding=0)).astype(store_dtype)
+        return x, {"bn1": s["bn1"], "bn2": s["bn2"]}
     x = conv2d(p["conv1"], x, stride=2, padding=0)
     x, ns["bn1"] = batchnorm(p["bn1"], s["bn1"], x, train)
-    x = cast(relu(x))
-    x = conv2d(p["conv2"], up(x), stride=1, padding=0)
+    x = relu(x)
+    x = conv2d(p["conv2"], x, stride=1, padding=0)
     x, ns["bn2"] = batchnorm(p["bn2"], s["bn2"], x, train)
-    x = cast(relu(x))
+    x = relu(x)
     return x, ns
 
 
