@@ -45,6 +45,58 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _pair_heads(heads: int, dh: int, inner: int) -> bool:
+    """True when the per-head q/k/v column slices can be processed as
+    128-lane head PAIRS: dh=64 puts every odd head's slice at a 64-lane
+    offset, and Mosaic materializes each misaligned (S, 64) slice with
+    lane-rotate ops — measured ~0.33 ms/layer at S=368, B=32 (r3
+    interleaved A/B, docs/KERNELS.md). Pairing reads aligned (S, 128)
+    tiles instead and isolates each head by zero-masking the OTHER
+    head's K/V lanes: zeros in K kill the cross-head score terms
+    exactly, and the two PV products concatenate into one aligned
+    (S, 128) output write. MXU cycles are identical (ceil(64/128) ==
+    ceil(128/128) per tile); numerics are bitwise equal."""
+    return dh == 64 and heads % 2 == 0 and inner % 128 == 0
+
+
+def _mh_attention_vmem(q, k, v, o_ref, heads: int, scale: float, mask,
+                       pair: bool):
+    """Multi-head softmax attention on VMEM values q/k/v (S, H*dh),
+    writing o_ref[0, :, :] (1, S, H*dh). mask: optional (S, S) additive
+    f32 key mask. pair=True takes the aligned head-pair path."""
+    s_len, hd = q.shape
+    dh = hd // heads
+
+    def one_head(qh, kh, vh):
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (S, S) f32
+        if mask is not None:
+            sc = sc + mask
+        pr = jax.nn.softmax(sc, axis=-1)
+        return jnp.dot(pr.astype(vh.dtype), vh,
+                       preferred_element_type=jnp.float32)
+
+    if not pair:
+        for h in range(heads):                  # static unroll
+            sl = slice(h * dh, (h + 1) * dh)
+            o = one_head(q[:, sl], k[:, sl], v[:, sl])
+            o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s_len, 2 * dh), 1)
+    lo = lane < dh
+    for p in range(heads // 2):
+        sl = slice(p * 128, (p + 1) * 128)
+        qp, kp, vp = q[:, sl], k[:, sl], v[:, sl]
+        o_pair = None
+        for half in (lo, ~lo):
+            k_m = jnp.where(half, kp, 0).astype(kp.dtype)
+            v_m = jnp.where(half, vp, 0).astype(vp.dtype)
+            o = one_head(qp, k_m, v_m)
+            o_pair = o if o_pair is None else o_pair + o
+        o_ref[0, :, sl] = o_pair.astype(o_ref.dtype)
+
+
 def _attn_kernel_mh(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                     heads: int):
     """All-heads variant: refs are (1, S, H*dh); the head loop runs inside
@@ -54,16 +106,8 @@ def _attn_kernel_mh(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     v = v_ref[0]
     s_len, hd = q.shape
     dh = hd // heads
-    for h in range(heads):                      # static unroll
-        sl = slice(h * dh, (h + 1) * dh)
-        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        sc = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (S, S) f32
-        pr = jax.nn.softmax(sc, axis=-1)
-        o = jnp.dot(pr.astype(vh.dtype), vh,
-                    preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+    _mh_attention_vmem(q, k, v, o_ref, heads, scale, None,
+                       pair=_pair_heads(heads, dh, hd))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -136,19 +180,9 @@ def _attn_kernel_mh_packed(qkv_ref, o_ref, *, scale: float, heads: int,
     if n_valid < s_len:
         cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
         mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
-    for h in range(heads):
-        q = x[:, h * dh:(h + 1) * dh]
-        k = x[:, inner + h * dh:inner + (h + 1) * dh]
-        v = x[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (S, S) f32
-        if mask is not None:
-            sc = sc + mask
-        pr = jax.nn.softmax(sc, axis=-1)
-        o = jnp.dot(pr.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)
-        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+    _mh_attention_vmem(x[:, :inner], x[:, inner:2 * inner],
+                       x[:, 2 * inner:], o_ref, heads, scale, mask,
+                       pair=_pair_heads(heads, dh, inner))
 
 
 @functools.partial(jax.jit,
@@ -726,9 +760,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     if 0 <= n_valid < s_len:
         cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
         mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+
+    def one_head(qh, kh, vh, doh):
         dots = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # (S, S)
@@ -750,9 +783,58 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dk = jax.lax.dot_general(
             ds, qh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (S, dh)
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        return dq, dk, dv
+
+    if not _pair_heads(heads, dh, hd):
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            dq, dk, dv = one_head(q[:, sl], k[:, sl], v[:, sl], do[:, sl])
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        return
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s_len, 2 * dh), 1)
+    lo = lane < dh
+    for pr_ in range(heads // 2):
+        sl = slice(pr_ * 128, (pr_ + 1) * 128)
+        qp, kp, vp, dop = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        acc = None
+        # dots/dq use full qp with masked k (exact: zeroed k lanes kill
+        # cross-head terms); dk contracts against masked q, dv against
+        # masked do, dp against masked v — each lands in this head's
+        # lanes only, so the pair sums concatenate exactly.
+        for half in (lo, ~lo):
+            k_m = jnp.where(half, kp, 0).astype(kp.dtype)
+            v_m = jnp.where(half, vp, 0).astype(vp.dtype)
+            q_m = jnp.where(half, qp, 0).astype(qp.dtype)
+            do_m = jnp.where(half, dop, 0).astype(dop.dtype)
+            dots = jax.lax.dot_general(
+                qp, k_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                dots = dots + mask
+            m = jnp.max(dots, axis=1, keepdims=True)
+            e = jnp.exp(dots - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            pb = p.astype(vp.dtype)
+            dv = jax.lax.dot_general(
+                pb, do_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                dop, v_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))
+            ds = (ds * scale).astype(qp.dtype)
+            dq = jnp.dot(ds, k_m, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, q_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            trip = (dq, dk, dv)
+            acc = trip if acc is None else tuple(
+                a + t for a, t in zip(acc, trip))
+        dq_ref[0, :, sl] = acc[0].astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = acc[1].astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = acc[2].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit,

@@ -624,19 +624,10 @@ def _mm_q8_ln_qkv_q8_spatial_kernel(a_ref, woq_ref, wos_ref, bo_ref,
     if n_valid < s_len:
         cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
         mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
-    for h in range(heads):
-        q = x[:, h * dh:(h + 1) * dh]
-        k = x[:, inner + h * dh:inner + (h + 1) * dh]
-        v = x[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (S, S) f32
-        if mask is not None:
-            sc = sc + mask
-        pr = jax.nn.softmax(sc, axis=-1)
-        o = jnp.dot(pr.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)
-        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+    from istvt_tpu.kernels.attention import _mh_attention_vmem, _pair_heads
+    _mh_attention_vmem(x[:, :inner], x[:, inner:2 * inner],
+                       x[:, 2 * inner:], o_ref, heads, scale, mask,
+                       pair=_pair_heads(heads, dh, inner))
 
 
 @functools.partial(jax.jit,
