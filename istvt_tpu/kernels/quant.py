@@ -775,21 +775,44 @@ def _st_layer_q8_kernel(x_ref, st_ref, bt_ref, wqt_ref, wst_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
         mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
 
+    from istvt_tpu.kernels.attention import _pair_heads
+
+    def _one_head(qf, kf, vf):
+        sc = jax.lax.dot_general(
+            qf, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            sc = sc + mask
+        pr = jax.nn.softmax(sc, axis=-1)
+        return jnp.dot(pr.astype(vf.dtype), vf,
+                       preferred_element_type=jnp.float32)
+
     def s_body(j, _):
         xf = qkvs_ref[j]                          # (S, 3I)
-        for h in range(heads):
-            qf = xf[:, h * dh:(h + 1) * dh]
-            kf = xf[:, inner + h * dh:inner + (h + 1) * dh]
-            vf = xf[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
-            sc = jax.lax.dot_general(
-                qf, kf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if mask is not None:
-                sc = sc + mask
-            pr = jax.nn.softmax(sc, axis=-1)
-            o = jnp.dot(pr.astype(vf.dtype), vf,
-                        preferred_element_type=jnp.float32)
-            as_ref[j, :, h * dh:(h + 1) * dh] = o.astype(as_ref.dtype)
+        if not _pair_heads(heads, dh, inner):
+            for h in range(heads):
+                o = _one_head(
+                    xf[:, h * dh:(h + 1) * dh],
+                    xf[:, inner + h * dh:inner + (h + 1) * dh],
+                    xf[:, 2 * inner + h * dh:2 * inner + (h + 1) * dh])
+                as_ref[j, :, h * dh:(h + 1) * dh] = o.astype(as_ref.dtype)
+            return 0
+        # aligned head-pair path (see attention._pair_heads): 128-lane
+        # slices, other head's K/V lanes zero-masked — bitwise equal.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s_len, 2 * dh), 1)
+        lo = lane < dh
+        for p_ in range(heads // 2):
+            qp = xf[:, p_ * 128:(p_ + 1) * 128]
+            kp = xf[:, inner + p_ * 128:inner + (p_ + 1) * 128]
+            vp = xf[:, 2 * inner + p_ * 128:2 * inner + (p_ + 1) * 128]
+            o_pair = None
+            for half in (lo, ~lo):
+                k_m = jnp.where(half, kp, 0).astype(kp.dtype)
+                v_m = jnp.where(half, vp, 0).astype(vp.dtype)
+                o = _one_head(qp, k_m, v_m)
+                o_pair = o if o_pair is None else o_pair + o
+            as_ref[j, :, p_ * 128:(p_ + 1) * 128] = \
+                o_pair.astype(as_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, t1, s_body, 0)

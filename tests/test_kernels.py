@@ -515,3 +515,52 @@ def test_ln_ff_residual_grad_end_to_end():
     for a, b in zip(g_ker, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_head_pair_path_bitwise_matches_per_head(monkeypatch):
+    """dh=64 engages the aligned head-PAIR path (attention._pair_heads):
+    128-lane slices with the other head's K/V lanes zero-masked must be
+    BITWISE equal to the per-head fallback — zeros kill cross-head score
+    terms exactly and the pair PV sums concatenate head outputs."""
+    from istvt_tpu.kernels import attention as K
+
+    rng = np.random.RandomState(11)
+    g, s, heads, dh = 3, 24, 4, 64
+    inner = heads * dh
+    qkv = jnp.asarray(rng.randn(g, s, 3 * inner).astype(np.float32))
+    assert K._pair_heads(heads, dh, inner)
+    out_pair = K.fused_frame_attention_packed(qkv, heads, n_valid=s - 3,
+                                              interpret=True)
+    monkeypatch.setattr(K, "_pair_heads", lambda *a: False)
+    out_head = K.fused_frame_attention_packed.__wrapped__(
+        qkv, heads, n_valid=s - 3, interpret=True)
+    assert np.array_equal(np.asarray(out_pair), np.asarray(out_head))
+
+
+def test_head_pair_bwd_matches_vjp_dh64():
+    """Flash bwd pair path (dh=64) vs jax.vjp of the reference chain."""
+    from istvt_tpu.kernels.attention import fused_frame_attention_bwd
+
+    rng = np.random.RandomState(12)
+    g, s, heads, dh = 2, 16, 2, 64
+    hd = heads * dh
+    q, k, v, do = (jnp.asarray(rng.randn(g, s, hd).astype(np.float32))
+                   for _ in range(4))
+
+    def ref(q, k, v):
+        qh = q.reshape(g, s, heads, dh)
+        kh = k.reshape(g, s, heads, dh)
+        vh = v.reshape(g, s, heads, dh)
+        with precision.highest():
+            dots = jnp.einsum("gihd,gjhd->ghij", qh, kh) * dh ** -0.5
+            pr = jax.nn.softmax(dots, axis=-1)
+            o = jnp.einsum("ghij,gjhd->gihd", pr, vh)
+        return o.reshape(g, s, hd)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    want = vjp(do)
+    got = fused_frame_attention_bwd(q, k, v, do, heads=heads,
+                                    interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
