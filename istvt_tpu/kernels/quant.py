@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from istvt_tpu.kernels.attention import _mh_attention_vmem, _pair_heads
 from istvt_tpu.kernels.linear import _ln, _row_tiles, _vec_spec
 
 
@@ -624,7 +625,6 @@ def _mm_q8_ln_qkv_q8_spatial_kernel(a_ref, woq_ref, wos_ref, bo_ref,
     if n_valid < s_len:
         cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
         mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
-    from istvt_tpu.kernels.attention import _mh_attention_vmem, _pair_heads
     _mh_attention_vmem(x[:, :inner], x[:, inner:2 * inner],
                        x[:, 2 * inner:], o_ref, heads, scale, mask,
                        pair=_pair_heads(heads, dh, inner))
@@ -774,8 +774,6 @@ def _st_layer_q8_kernel(x_ref, st_ref, bt_ref, wqt_ref, wst_ref,
     if n_valid < s_len:
         cols = jax.lax.broadcasted_iota(jnp.int32, (s_len, s_len), 1)
         mask = jnp.where(cols < n_valid, 0.0, -1e30).astype(jnp.float32)
-
-    from istvt_tpu.kernels.attention import _pair_heads
 
     def _one_head(qf, kf, vf):
         sc = jax.lax.dot_general(
