@@ -26,19 +26,45 @@ import jax.numpy as jnp
 
 class Predictor:
     def __init__(self, model, params, state, batch_sizes: Sequence[int] =
-                 (1, 8, 16), compute_dtype=None, input_dtype=None):
+                 (1, 8, 16), compute_dtype=None, input_dtype=None,
+                 mesh=None):
         """compute_dtype: cast params AND inputs per call (float leaves
         only). input_dtype: cast ONLY the inputs — use this for int8
         serving, where the params already carry their deployed dtypes
         (bf16 weights, int8 q8 copies, f32 scales) and a blanket float
-        cast would degrade the f32 quantization scales to bf16."""
+        cast would degrade the f32 quantization scales to bf16.
+
+        mesh: optional data-only `jax.sharding.Mesh` for DP-sharded
+        serving — the batch shards over the 'data' axis (shard_map, one
+        replica per chip, no inter-chip communication at inference) and
+        params/state replicate. Bucket sizes round up to multiples of
+        the data-axis size. Model-axis sharding belongs to
+        `train.step.make_eval_step(mesh=...)`, not here."""
         self.model = model
         self.params = params
         self.state = state
         self.batch_sizes = sorted(batch_sizes)
         self.compute_dtype = compute_dtype
         self.input_dtype = input_dtype
-        self._fwd = jax.jit(self._forward)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from istvt_tpu.core.mesh import DATA_AXIS
+            from istvt_tpu.parallel.tp import shard_map_compat
+            if any(a != DATA_AXIS and n > 1
+                   for a, n in mesh.shape.items()):
+                raise ValueError(
+                    "Predictor meshes must be data-only; use "
+                    "make_eval_step(mesh=...) for model-sharded eval")
+            nd = mesh.shape[DATA_AXIS]
+            self.batch_sizes = sorted({-(-b // nd) * nd
+                                       for b in self.batch_sizes})
+            self._fwd = jax.jit(shard_map_compat(
+                self._forward, mesh,
+                in_specs=(P(), P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS)))
+        else:
+            self._fwd = jax.jit(self._forward)
 
     def _forward(self, params, state, x):
         if self.compute_dtype is not None:

@@ -58,3 +58,29 @@ def test_predictor_int8_istvt():
     assert out_q["logits"].shape == (3,)
     np.testing.assert_allclose(out_q["logits"], out_f["logits"],
                                atol=0.05, rtol=0.05)
+
+
+def test_predictor_dp_mesh_matches_single_device():
+    """DP-sharded serving (mesh over 'data'): same probabilities as the
+    single-device Predictor; buckets round up to the data-axis size and
+    partial batches stay uncontaminated. Conftest forces 8 CPU devices."""
+    from jax.sharding import Mesh
+    from istvt_tpu.core.mesh import DATA_AXIS
+
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, state = model.init(jax.random.PRNGKey(0))
+    clips = np.random.RandomState(1).randn(5, 2, 72, 72, 3).astype(
+        np.float32)
+    ref = Predictor(model, params, state, batch_sizes=(8,)).predict(clips)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), (DATA_AXIS,))
+    pred = Predictor(model, params, state, batch_sizes=(3,), mesh=mesh)
+    assert pred.batch_sizes == [8]          # rounded up to 8 replicas
+    out = pred.predict(clips)
+    np.testing.assert_allclose(out["logits"], ref["logits"], atol=1e-5)
+
+    import pytest
+    from jax.sharding import Mesh as M
+    bad = M(np.asarray(jax.devices()[:8]).reshape(4, 2),
+            (DATA_AXIS, "model"))
+    with pytest.raises(ValueError):
+        Predictor(model, params, state, mesh=bad)
