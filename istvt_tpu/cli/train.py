@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel axis size (DP gets the rest)")
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="pipeline-parallel stages over the ST layer "
+                        "stack (parallel/pp.py; must divide depth; "
+                        "mutually exclusive with --mesh_model>1)")
+    p.add_argument("--microbatches", type=int, default=None,
+                   help="pipeline microbatch count (default: stage count)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward vs f32 master params")
     p.add_argument("--remat", action="store_true",
@@ -151,7 +157,7 @@ def main(argv=None):
     val_loader = ClipLoader(val_ds, batch_size=args.batch_size,
                             shuffle=False, num_workers=args.num_workers)
 
-    mesh = make_mesh(model=args.mesh_model)
+    mesh = make_mesh(model=args.mesh_model, pipe=args.mesh_pipe)
     steps_per_epoch = max(len(train_loader), 1)
     step_hook = None
     if args.dump_attns_every > 0:
@@ -161,7 +167,8 @@ def main(argv=None):
     trainer = Trainer(model, tc, dc, mesh=mesh,
                       steps_per_epoch=steps_per_epoch,
                       use_reference_schedule=args.reference_schedule,
-                      step_hook=step_hook)
+                      step_hook=step_hook,
+                      microbatches=args.microbatches)
 
     ts = trainer.init_state()
     if args.continue_train or args.test_mode:

@@ -15,27 +15,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a (data, model) mesh over the given devices.
+    """Create a (data, model[, pipe]) mesh over the given devices.
 
     data=-1 means "all remaining devices". The device order is left to JAX's
-    default, which lays contiguous mesh dims along ICI neighbours on TPU.
+    default, which lays contiguous mesh dims along ICI neighbours on TPU —
+    the pipe axis is innermost so stage-to-stage ppermute hops ride
+    single-link ICI. The 'pipe' axis only appears when pipe > 1, so
+    existing (data, model) consumers are unaffected.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        assert n % (model * pipe) == 0, \
+            f"{n} devices not divisible by model*pipe={model * pipe}"
+        data = n // (model * pipe)
+    assert data * model * pipe == n, \
+        f"mesh {data}x{model}x{pipe} != {n} devices"
+    if pipe == 1:
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices).reshape(data, model, pipe)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:

@@ -349,16 +349,27 @@ def dsttr_apply(
         # its activations (SURVEY.md: jax.checkpoint/remat for memory)
         run_layer = jax.checkpoint(run_layer, static_argnums=())
 
-    for i, layer in enumerate(p["layers"]):
-        frng = None
-        if rng is not None:
-            rng, frng = jax.random.split(rng)
-        bias_t = attn_bias["t"][i] if attn_bias is not None else None
-        bias_s = attn_bias["s"][i] if attn_bias is not None else None
-        x, at, asp = run_layer(x, layer, bias_t, bias_s, frng)
-        if return_attn:
-            attns["t"].append(at)
-            attns["s"].append(asp)
+    from istvt_tpu.parallel import pp as _pp
+    if _pp.active() and not need_attn and (rng is None or cfg.dropout == 0.0):
+        # GPipe pipeline over the identical ST layers (parallel/pp.py):
+        # contiguous stages on the 'pipe' mesh axis, microbatches flowing
+        # over ppermute. Attention-map/dropout paths fall through to the
+        # sequential loop (still correct under the mesh — jit replicates
+        # the layer compute over the pipe axis there).
+        x = _pp.pipeline_layers(
+            x, p["layers"],
+            lambda lp, xv: run_layer(xv, lp, None, None, None)[0])
+    else:
+        for i, layer in enumerate(p["layers"]):
+            frng = None
+            if rng is not None:
+                rng, frng = jax.random.split(rng)
+            bias_t = attn_bias["t"][i] if attn_bias is not None else None
+            bias_s = attn_bias["s"][i] if attn_bias is not None else None
+            x, at, asp = run_layer(x, layer, bias_t, bias_s, frng)
+            if return_attn:
+                attns["t"].append(at)
+                attns["s"].append(asp)
 
     x = layernorm(p["norm"], x)
     x = x.reshape(b, t + 1, s, d)

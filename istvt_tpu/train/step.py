@@ -52,6 +52,7 @@ def make_train_step(
     donate: bool = True,
     compute_dtype=None,
     mesh=None,
+    microbatches=None,
 ):
     """Returns jitted step(ts, batch, rng) -> (ts, metrics_dict).
 
@@ -60,11 +61,14 @@ def make_train_step(
     f32 master params (the cast is inside the differentiated function, so
     gradients come back f32); losses/metrics stay f32.
 
-    mesh: pass the (data, model) mesh when training tensor-parallel —
-    the step body traces inside a parallel/tp scope so the Pallas
-    attention kernels dispatch to their shard_map'd forms.
+    mesh: pass the (data, model[, pipe]) mesh when training tensor- or
+    pipeline-parallel — the step body traces inside parallel/tp and
+    parallel/pp scopes, so the Pallas attention kernels dispatch to
+    their shard_map'd forms (model>1) and the ST layer stack runs as a
+    GPipe pipeline (pipe>1). `microbatches` sets the pipeline's
+    microbatch count (default: the stage count).
     """
-    from istvt_tpu.parallel import tp
+    from istvt_tpu.parallel import pp, tp
 
     loss_fn = loss_fn or (lambda logits, batch:
                           losses.bce_with_logits(logits, batch["labels"]))
@@ -81,7 +85,7 @@ def make_train_step(
         return loss, (new_state, logits)
 
     def step(ts: TrainState, batch, rng):
-        with tp.scope(mesh):
+        with tp.scope(mesh), pp.scope(mesh, microbatches):
             return _step(ts, batch, rng)
 
     def _step(ts: TrainState, batch, rng):
@@ -100,13 +104,13 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mesh=None):
+def make_eval_step(model, mesh=None, microbatches=None):
     """jitted eval(params, model_state, batch) -> per-batch sufficient stats
     (reference eval loop train_CNN.py:837-984, no_grad threshold-at-0)."""
-    from istvt_tpu.parallel import tp
+    from istvt_tpu.parallel import pp, tp
 
     def step(params, model_state, batch):
-        with tp.scope(mesh):
+        with tp.scope(mesh), pp.scope(mesh, microbatches):
             x = batch.get("clips", batch.get("images"))
             logits, _ = model.apply(params, model_state, x, train=False)
         if logits.ndim == 2 and logits.shape[-1] == 2:

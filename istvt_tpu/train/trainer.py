@@ -133,14 +133,15 @@ def evaluate(model, params, model_state, loader, mesh=None,
 
 
 class Trainer:
-    """Epoch-driven trainer over a (data, model) mesh."""
+    """Epoch-driven trainer over a (data, model[, pipe]) mesh."""
 
     def __init__(self, model, tc: TrainConfig, dc: DataConfig,
                  mesh=None, loss_fn: Optional[Callable] = None,
                  steps_per_epoch: Optional[int] = None,
                  use_reference_schedule: bool = False,
                  log_fn: Callable[[str], None] = print,
-                 step_hook: Optional[Callable[[int, Dict], None]] = None):
+                 step_hook: Optional[Callable[[int, Dict], None]] = None,
+                 microbatches: Optional[int] = None):
         self.model = model
         self.tc = tc
         self.dc = dc
@@ -166,7 +167,8 @@ class Trainer:
         self.step_fn = S.make_train_step(self.model, self.optimizer,
                                          loss_fn=loss_fn,
                                          compute_dtype=compute_dtype,
-                                         mesh=self.mesh)
+                                         mesh=self.mesh,
+                                         microbatches=microbatches)
         self.ckpt = CheckpointManager(tc.checkpoint_dir) \
             if tc.checkpoint_dir else None
         self.best_metric = -float("inf")

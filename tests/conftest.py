@@ -11,9 +11,15 @@ if not os.environ.get("ISTVT_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # 8 virtual device threads oversubscribe this host's single core:
+        # heavy shard_map bodies (e.g. the pipeline-parallel scan) arrive
+        # at collectives minutes apart, and XLA-CPU's rendezvous would
+        # abort the whole process after its default 40 s.
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+    os.environ["XLA_FLAGS"] = flags
     # A sitecustomize may have force-registered an accelerator plugin via
     # jax.config.update("jax_platforms", ...), which overrides the env var —
     # override it back so tests run on the 8-device virtual CPU mesh.
