@@ -23,6 +23,10 @@ def build_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--train_step", action="store_true",
                    help="bench the full train step instead of forward")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches (train_step)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize ST layers + stem (train_step)")
     return p
 
 
@@ -54,7 +58,8 @@ def main(argv=None):
         kw["cfg"] = ISTVTConfig(num_frames=args.seq_len,
                                 image_size=args.input_size,
                                 feat_hw=feat_hw,
-                                use_pallas=platform == "tpu")
+                                use_pallas=platform == "tpu",
+                                remat=args.remat)
     model = model_selection(args.model_name, num_out_classes=1, **kw)
     params, state = model.init(jax.random.PRNGKey(0))
     if platform == "tpu":
@@ -77,7 +82,8 @@ def main(argv=None):
         step_fn = S.make_train_step(
             model, opt, donate=True,
             compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-            else None)
+            else None,
+            grad_accum=args.grad_accum)
         key = "clips" if is_clip else "images"
         xf = x.astype(jnp.float32)
         state_box = {"ts": ts}
@@ -103,6 +109,8 @@ def main(argv=None):
             "model": args.model_name,
             "mode": "train_step",
             "batch": args.batch_size,
+            "grad_accum": args.grad_accum,
+            "remat": args.remat,
             # MEAN over chained steps (per-step medians are unmeasurable
             # without paying the remote-tunnel fetch per step)
             "mean_ms": round(mean * 1000, 2),

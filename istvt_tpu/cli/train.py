@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "mutually exclusive with --mesh_model>1)")
     p.add_argument("--microbatches", type=int, default=None,
                    help="pipeline microbatch count (default: stage count)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "step (shrinks backward activation memory ~k; "
+                        "must divide batch_size)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward vs f32 master params")
     p.add_argument("--remat", action="store_true",
@@ -168,7 +172,8 @@ def main(argv=None):
                       steps_per_epoch=steps_per_epoch,
                       use_reference_schedule=args.reference_schedule,
                       step_hook=step_hook,
-                      microbatches=args.microbatches)
+                      microbatches=args.microbatches,
+                      grad_accum=args.grad_accum)
 
     ts = trainer.init_state()
     if args.continue_train or args.test_mode:

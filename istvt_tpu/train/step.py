@@ -53,6 +53,7 @@ def make_train_step(
     compute_dtype=None,
     mesh=None,
     microbatches=None,
+    grad_accum: int = 1,
 ):
     """Returns jitted step(ts, batch, rng) -> (ts, metrics_dict).
 
@@ -67,6 +68,17 @@ def make_train_step(
     their shard_map'd forms (model>1) and the ST layer stack runs as a
     GPipe pipeline (pipe>1). `microbatches` sets the pipeline's
     microbatch count (default: the stage count).
+
+    grad_accum=k > 1 splits the batch into k microbatches and runs
+    forward+backward per microbatch under one `lax.scan`, averaging
+    gradients into a single optimizer update. Backward activation
+    memory shrinks by ~k with no recompute tax — the route to large
+    effective batches when the whole-batch backward exceeds HBM (the
+    documented B=32 limit, BASELINE.md). Gradients are the exact
+    full-batch mean for BN-free models (mean losses are microbatch-
+    affine); with BatchNorm, running stats thread through microbatches
+    sequentially and batch statistics are per-microbatch — the standard
+    grad-accumulation semantics (same as k sequential torch steps).
     """
     from istvt_tpu.parallel import pp, tp
 
@@ -88,14 +100,46 @@ def make_train_step(
         with tp.scope(mesh), pp.scope(mesh, microbatches):
             return _step(ts, batch, rng)
 
+    def _accumulate(ts: TrainState, batch, rng):
+        x = batch.get("clips", batch.get("images"))
+        b = x.shape[0]
+        assert b % grad_accum == 0, \
+            f"batch {b} not divisible by grad_accum={grad_accum}"
+        chunks = jax.tree_util.tree_map(
+            lambda v: v.reshape(grad_accum, b // grad_accum, *v.shape[1:]),
+            batch)
+        rngs = jax.random.split(rng, grad_accum)
+
+        def body(carry, xs):
+            mstate, gsum, lsum, asum = carry
+            mb, r = xs
+            (loss, (mstate, logits)), g = jax.value_and_grad(
+                compute_loss, has_aux=True)(ts.params, mstate, mb, r)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (mstate, gsum, lsum + loss,
+                    asum + metrics.accuracy(logits, mb["labels"])), None
+
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), ts.params)
+        zero = jnp.zeros((), jnp.float32)
+        (new_state, gsum, lsum, asum), _ = jax.lax.scan(
+            body, (ts.model_state, zero_g, zero, zero), (chunks, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        return (lsum / grad_accum, asum / grad_accum), new_state, grads
+
     def _step(ts: TrainState, batch, rng):
-        (loss, (new_state, logits)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(ts.params, ts.model_state, batch, rng)
+        if grad_accum > 1:
+            (loss, acc), new_state, grads = _accumulate(ts, batch, rng)
+        else:
+            (loss, (new_state, logits)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(ts.params, ts.model_state,
+                                            batch, rng)
+            acc = metrics.accuracy(logits, batch["labels"])
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         m = {
             "loss": loss,
-            "accuracy": metrics.accuracy(logits, batch["labels"]),
+            "accuracy": acc,
             "grad_norm": optax.global_norm(grads),
         }
         return TrainState(params=params, model_state=new_state,

@@ -141,7 +141,8 @@ class Trainer:
                  use_reference_schedule: bool = False,
                  log_fn: Callable[[str], None] = print,
                  step_hook: Optional[Callable[[int, Dict], None]] = None,
-                 microbatches: Optional[int] = None):
+                 microbatches: Optional[int] = None,
+                 grad_accum: int = 1):
         self.model = model
         self.tc = tc
         self.dc = dc
@@ -168,7 +169,8 @@ class Trainer:
                                          loss_fn=loss_fn,
                                          compute_dtype=compute_dtype,
                                          mesh=self.mesh,
-                                         microbatches=microbatches)
+                                         microbatches=microbatches,
+                                         grad_accum=grad_accum)
         self.ckpt = CheckpointManager(tc.checkpoint_dir) \
             if tc.checkpoint_dir else None
         self.best_metric = -float("inf")

@@ -303,3 +303,116 @@ def test_tp_pallas_eval_step():
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_array_equal(np.asarray(out["correct"]),
                                   np.asarray(base["correct"]))
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (make_train_step(grad_accum=k))
+
+
+def _bnfree_model(cfg):
+    """BN-free Model over DSTTr features: state is empty, so accumulated
+    gradients must EXACTLY equal the full-batch gradient (mean losses are
+    microbatch-affine)."""
+    from istvt_tpu.models import istvt
+    from istvt_tpu.models.registry import Model
+
+    def init(rng):
+        return {"vit": istvt.dsttr_init(rng, cfg)}, {}
+
+    def apply(params, state, feats, train=False, rng=None):
+        return istvt.dsttr_apply(params["vit"], feats, cfg,
+                                 train=train, rng=rng), {}
+
+    return Model(name="dsttr_only", config=cfg, init=init, apply=apply)
+
+
+def test_grad_accum_exact_for_bn_free_model():
+    cfg = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=2,
+                      num_classes=1)
+    model = _bnfree_model(cfg)
+    tc = TrainConfig()
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-3, 100))
+    ts0 = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    rng = jax.random.PRNGKey(7)
+    rs = np.random.RandomState(3)
+    batch = {
+        "clips": jnp.asarray(
+            rs.randn(8, 2, 5, 5, 728).astype(np.float32) * 0.5),
+        "labels": jnp.asarray(rs.randint(0, 2, size=8)),
+    }
+
+    full = train_step.make_train_step(model, opt, donate=False)
+    ts1, m1 = full(ts0, batch, rng)
+    for k in (2, 4):
+        acc = train_step.make_train_step(model, opt, donate=False,
+                                         grad_accum=k)
+        ts2, m2 = acc(ts0, batch, rng)
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+        assert abs(float(m1["accuracy"]) - float(m2["accuracy"])) < 1e-6
+        gn = float(m1["grad_norm"])
+        # identical math, different reduction order (k wgrad sums vs one
+        # batch GEMM): f32 noise only
+        assert abs(gn - float(m2["grad_norm"])) < 1e-4 * max(gn, 1.0)
+        a = ts1.params["vit"]["layers"][0]["ff"]["fc1"]["w"]
+        b = ts2.params["vit"]["layers"][0]["ff"]["fc1"]["w"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-5)
+
+
+def test_grad_accum_istvt_smoke_and_bn_semantics():
+    """Full ISTVT (BN stem): accum=2 runs, loss is finite and close to the
+    full-batch loss (BN batch stats are per-microbatch, so not bitwise),
+    and BN running stats DID update through the scan."""
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    tc = TrainConfig()
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-3, 100))
+    ts0 = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    batch = _batch()
+    rng = jax.random.PRNGKey(5)
+
+    full = train_step.make_train_step(model, opt, donate=False)
+    _, m1 = full(ts0, batch, rng)
+    acc = train_step.make_train_step(model, opt, donate=False, grad_accum=2)
+    ts2, m2 = acc(ts0, batch, rng)
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert np.isfinite(l2)
+    assert abs(l1 - l2) < 0.05 * max(abs(l1), 1.0)
+    # running stats moved off their init through the scanned microbatches
+    leaf0 = jax.tree_util.tree_leaves(ts0.model_state)
+    leaf2 = jax.tree_util.tree_leaves(ts2.model_state)
+    assert any(float(jnp.max(jnp.abs(a - b))) > 1e-8
+               for a, b in zip(leaf0, leaf2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 virtual devices")
+def test_grad_accum_on_data_mesh():
+    """grad_accum composes with DP batch sharding: each microbatch keeps
+    the 'data' sharding and the result matches the unsharded accum step."""
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    tc = TrainConfig()
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-3, 100))
+    ts0 = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    batch = _batch(bs=16)  # microbatches of 8 still shard over data=8
+    rng = jax.random.PRNGKey(5)
+
+    base = train_step.make_train_step(model, opt, donate=False,
+                                      grad_accum=2)
+    _, m1 = base(ts0, batch, rng)
+
+    mesh = make_mesh(data=8, model=1)
+    ts_sh = train_step.TrainState(
+        params=shd.place(ts0.params,
+                         shd.replicated_shardings(ts0.params, mesh)),
+        model_state=shd.place(
+            ts0.model_state, shd.replicated_shardings(ts0.model_state, mesh)),
+        opt_state=jax.device_put(ts0.opt_state),
+        step=ts0.step,
+    )
+    sbatch = shd.place(batch, shd.batch_shardings(batch, mesh))
+    stepm = train_step.make_train_step(model, opt, donate=False, mesh=mesh,
+                                       grad_accum=2)
+    _, m2 = stepm(ts_sh, sbatch, rng)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    gn = float(m1["grad_norm"])
+    assert abs(gn - float(m2["grad_norm"])) < 1e-3 * max(gn, 1.0)
