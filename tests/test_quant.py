@@ -304,3 +304,31 @@ def test_f8_stem_storage_feature_fidelity():
     l16, _ = istvt.apply(qparams, state, clips, cfg16)
     np.testing.assert_allclose(np.asarray(l8), np.asarray(l16),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """The deployed int8 artifact (quantize_params output: bf16/f32
+    float leaves + int8 'q8' copies + f32 scales) must survive an Orbax
+    save/load BITWISE — a restored serving checkpoint with degraded
+    scales or upcast q8 leaves would silently change deployed logits
+    (the ADVICE r2 'restored after quantization' scenario is now a hard
+    error in models/istvt.py; this guards the artifact itself)."""
+    from istvt_tpu.core.checkpoint import load_pytree, save_pytree
+    from istvt_tpu.models import istvt
+
+    cfg = ISTVTConfig(**TINY)
+    params, _ = istvt.init(jax.random.PRNGKey(0), cfg)
+    qp = istvt.quantize_params(params)
+    path = str(tmp_path / "q8_params")
+    save_pytree(path, qp)
+    restored = load_pytree(path, qp)
+
+    flat1, tree1 = jax.tree_util.tree_flatten(qp)
+    flat2, tree2 = jax.tree_util.tree_flatten(restored)
+    assert tree1 == tree2
+    n_int8 = 0
+    for a, b in zip(flat1, flat2):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        n_int8 += a.dtype == jnp.int8
+    assert n_int8 > 0, "no int8 leaves in the quantized tree"
