@@ -20,9 +20,15 @@ class CheckpointManager:
     """Thin wrapper over ocp.CheckpointManager: save-per-epoch + best."""
 
     def __init__(self, directory: str, max_to_keep: int = 5,
-                 best_mode: str = "max"):
+                 best_mode: str = "max", async_save: bool = False):
+        """async_save: return from save() as soon as the in-memory
+        snapshot is taken and commit to disk on a background thread
+        (Orbax's async path), overlapping the write with the next
+        epoch's compute. Orbax serializes overlapping saves itself;
+        restore()/wait()/close() block on any in-flight commit."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
@@ -33,13 +39,23 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any, metric: Optional[float] = None):
+    def save(self, step: int, state: Any, metric: Optional[float] = None,
+             wait: Optional[bool] = None):
+        """wait: override the constructor's async_save for this call
+        (e.g. the preemption signal handler must commit before exit)."""
         metrics = {"metric": float(metric)} if metric is not None else None
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics)
+        blocking = (not self.async_save) if wait is None else wait
+        if blocking:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
+        """Block until any in-flight async save has committed."""
         self._mgr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None, template: Any = None):
+        self._mgr.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             return None
@@ -55,6 +71,7 @@ class CheckpointManager:
         return self._mgr.best_step()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

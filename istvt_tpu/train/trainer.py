@@ -171,7 +171,10 @@ class Trainer:
                                          mesh=self.mesh,
                                          microbatches=microbatches,
                                          grad_accum=grad_accum)
-        self.ckpt = CheckpointManager(tc.checkpoint_dir) \
+        # async_save: epoch-end checkpoint writes commit on a background
+        # thread, overlapping the next epoch's compute (the state passed
+        # is a device_get'd host copy, so later donation can't mutate it)
+        self.ckpt = CheckpointManager(tc.checkpoint_dir, async_save=True) \
             if tc.checkpoint_dir else None
         self.best_metric = -float("inf")
         self.metrics = None
@@ -223,7 +226,7 @@ class Trainer:
             if self.ckpt is not None:
                 self.log(f"signal {signum}: checkpointing before exit")
                 self.ckpt.save(int(state_box["ts"].step),
-                               jax.device_get(state_box["ts"]))
+                               jax.device_get(state_box["ts"]), wait=True)
             raise SystemExit(128 + signum)
 
         prev_handlers = {}
@@ -277,4 +280,6 @@ class Trainer:
                     self.best_metric = metric
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
+        if self.ckpt:
+            self.ckpt.wait()  # commit the last async epoch save
         return ts

@@ -86,6 +86,27 @@ def test_checkpoint_manager_best_tracking(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_manager_async_save(tmp_path):
+    """async_save returns before commit; wait()/restore() block on it and
+    the state round-trips exactly (the Trainer's epoch-save mode)."""
+    from istvt_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "amgr"), async_save=True)
+    state = {"w": jnp.arange(4, dtype=jnp.float32)}
+    mgr.save(1, state, metric=0.1)
+    mgr.save(2, {"w": 2 * jnp.arange(4, dtype=jnp.float32)}, metric=0.9)
+    mgr.wait()
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(template=state)
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  2 * np.arange(4, dtype=np.float32))
+    # per-call override (signal-handler path): wait=True commits eagerly
+    mgr.save(3, state, metric=0.2, wait=True)
+    assert mgr.latest_step() == 3
+    assert mgr.best_step() == 2
+    mgr.close()
+
+
 def test_vivit_and_vanilla_tr_baselines():
     from istvt_tpu.core.config import ISTVTConfig
     from istvt_tpu.models.registry import model_selection
