@@ -18,6 +18,11 @@ def build_parser():
     p.add_argument("--input_size", "-is", type=int, default=300)
     p.add_argument("--checkpoint_dir", "-o", default=None,
                    help="orbax checkpoint dir (latest step restored)")
+    p.add_argument("--artifact", default=None,
+                   help="serve a cli/export AOT artifact directory "
+                        "instead of building a model (model/checkpoint/"
+                        "quantize flags are ignored; buckets and clip "
+                        "shape come from the manifest)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8753)
     p.add_argument("--bf16", action="store_true")
@@ -91,8 +96,15 @@ def main(argv=None):
     import numpy as np
     from istvt_tpu.serve_daemon import ServeDaemon
 
-    predictor = build_predictor(args)
-    clip_shape = (args.seq_len, args.input_size, args.input_size, 3)
+    if args.artifact:
+        from istvt_tpu.serve_export import load_artifact
+        predictor = load_artifact(args.artifact)
+        clip_shape = tuple(predictor.manifest["input_shape"])
+        args.model_name = predictor.manifest.get("model_name",
+                                                 args.model_name)
+    else:
+        predictor = build_predictor(args)
+        clip_shape = (args.seq_len, args.input_size, args.input_size, 3)
     if not args.no_warmup:
         # compile every bucket up front so first requests aren't slow
         for b in predictor.batch_sizes:

@@ -1,0 +1,150 @@
+"""AOT serving artifacts (serve_export): export → reload → score with
+no model code, matching the live Predictor bit-for-bit on CPU.
+
+The reference has no deployment path (SURVEY §3.4 eval is inline in
+train_CNN.py); these tests cover the framework's production replacement:
+jax.export-serialized buckets + self-contained weights npz + manifest.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from istvt_tpu.core.config import ISTVTConfig
+from istvt_tpu.models.registry import model_selection
+from istvt_tpu.serve import Predictor
+from istvt_tpu import serve_export as SE
+
+TINY = dict(num_frames=2, image_size=72, feat_hw=5, depth=1,
+            num_classes=1, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ISTVTConfig(**TINY)
+    model = model_selection("istvt", num_out_classes=1, cfg=cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def _clips(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(
+        (n, TINY["num_frames"], TINY["image_size"], TINY["image_size"], 3)
+    ).astype(np.float32)
+
+
+def test_roundtrip_matches_predictor(tiny_model, tmp_path):
+    model, params, state = tiny_model
+    path = str(tmp_path / "artifact")
+    manifest = SE.save_artifact(
+        path, model, params, state,
+        input_shape=(TINY["num_frames"], TINY["image_size"],
+                     TINY["image_size"], 3),
+        batch_sizes=(2, 4))
+    assert manifest["batch_sizes"] == [2, 4]
+    assert os.path.exists(os.path.join(path, "fwd_b2.jaxexport"))
+    assert os.path.exists(os.path.join(path, "weights.npz"))
+
+    scorer = SE.load_artifact(path)
+    live = Predictor(model, params, state, batch_sizes=(2, 4))
+    clips = _clips(5)  # exercises partial-bucket padding (4 + 1->2)
+    got, want = scorer.predict(clips), live.predict(clips)
+    np.testing.assert_allclose(got["logits"], want["logits"],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(got["preds"], want["preds"])
+    assert got["logits"].shape == (5,)
+
+
+def test_bf16_and_int_leaves_preserved(tiny_model, tmp_path):
+    """ml_dtypes leaves (bf16) survive the npz byte-view roundtrip and
+    the exported graph's baked-in input cast matches the live path."""
+    from istvt_tpu.core import tree as _tree
+    model, params, state = tiny_model
+    bparams = _tree.cast(params, jnp.bfloat16)
+    path = str(tmp_path / "bf16_artifact")
+    SE.save_artifact(
+        path, model, bparams, state,
+        input_shape=(TINY["num_frames"], TINY["image_size"],
+                     TINY["image_size"], 3),
+        batch_sizes=(2,), input_dtype=jnp.bfloat16)
+    scorer = SE.load_artifact(path)
+    leaves = jax.tree_util.tree_leaves(scorer.params)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    live = Predictor(model, bparams, state, batch_sizes=(2,),
+                     input_dtype=jnp.bfloat16)
+    clips = _clips(2, seed=3)
+    np.testing.assert_allclose(scorer.predict(clips)["logits"],
+                               live.predict(clips)["logits"],
+                               rtol=0, atol=1e-5)
+
+
+def test_manifest_and_version_gate(tiny_model, tmp_path):
+    model, params, state = tiny_model
+    path = str(tmp_path / "artifact")
+    manifest = SE.save_artifact(
+        path, model, params, state,
+        input_shape=(TINY["num_frames"], TINY["image_size"],
+                     TINY["image_size"], 3),
+        batch_sizes=(2,), extra_meta={"note": "t"})
+    assert manifest["model_name"] == "istvt"
+    assert manifest["model_config"]["depth"] == 1
+    assert manifest["extra"] == {"note": "t"}
+    assert manifest["input_dtype"] is None
+
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        on_disk = json.load(f)
+    on_disk["format_version"] = SE.FORMAT_VERSION + 1
+    with open(mpath, "w") as f:
+        json.dump(on_disk, f)
+    with pytest.raises(ValueError, match="newer"):
+        SE.load_artifact(path)
+
+
+def test_cli_export_selftest(tmp_path):
+    from istvt_tpu.cli import export as cli_export
+    out = str(tmp_path / "cli_artifact")
+    cli_export.main([
+        "-sl", "2", "-is", "72", "--depth", "1",
+        "--batch_sizes", "2", "--out", out, "--selftest"])
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    scorer = SE.load_artifact(out)
+    out2 = scorer.predict(_clips(3, seed=7))
+    assert np.all(np.isfinite(out2["logits"])) and len(out2["probs"]) == 3
+
+
+def test_serve_cli_artifact_flag(tiny_model, tmp_path):
+    """--artifact path of cli/serve builds the predictor from disk."""
+    model, params, state = tiny_model
+    path = str(tmp_path / "artifact")
+    SE.save_artifact(
+        path, model, params, state,
+        input_shape=(TINY["num_frames"], TINY["image_size"],
+                     TINY["image_size"], 3),
+        batch_sizes=(1, 2))
+    import io
+
+    from istvt_tpu.serve_daemon import ServeDaemon
+    scorer = SE.load_artifact(path)
+    clip_shape = tuple(scorer.manifest["input_shape"])
+    daemon = ServeDaemon(scorer, clip_shape, host="127.0.0.1", port=0,
+                         max_batch=2, max_wait_ms=1.0).start()
+    try:
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", daemon.port,
+                                          timeout=120)
+        buf = io.BytesIO()
+        np.save(buf, _clips(1))
+        conn.request("POST", "/v1/predict", buf.getvalue(),
+                     {"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200, payload
+        assert np.isfinite(payload["logits"][0])
+    finally:
+        daemon.close()
