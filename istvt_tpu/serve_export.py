@@ -26,9 +26,10 @@ copies and f32 scales are stored verbatim and the exported HLO already
 contains the W8A8 compute graph.
 
 Pallas kernels lower to `tpu_custom_call` StableHLO custom calls, which
-jax.export refuses by default (no cross-version compatibility
-guarantee). `save_artifact` retries with that check disabled and
-records the waiver in the manifest: a Pallas artifact is pinned to the
+carry no cross-version compatibility guarantee (jax versions differ on
+whether export refuses them outright). Where the refusal exists,
+`save_artifact` retries with the check disabled and records the waiver
+in the manifest; either way a Pallas artifact is pinned to the
 jaxlib/libtpu generation that produced it (redeploy = re-export), which
 is the normal operating mode for compiled serving artifacts.
 """

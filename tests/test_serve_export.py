@@ -118,6 +118,46 @@ def test_cli_export_selftest(tmp_path):
     assert np.all(np.isfinite(out2["logits"])) and len(out2["probs"]) == 3
 
 
+@pytest.mark.tpu
+def test_export_int8_pallas_waiver_tpu(tmp_path):
+    """The production artifact (int8 + Pallas kernels) on a real TPU:
+    the Pallas kernels must actually be IN the exported StableHLO (as
+    tpu_custom_call — with a recorded waiver on jax versions whose
+    export refuses them by default), and the reloaded artifact must
+    match the live int8 Predictor. Run: ISTVT_TEST_TPU=1 pytest -m tpu."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU")
+    from istvt_tpu.core import tree as _tree
+    from istvt_tpu.models import istvt as istvt_mod
+
+    cfg = ISTVTConfig(use_pallas=True, quantize="int8", **{
+        k: v for k, v in TINY.items() if k != "use_pallas"})
+    model = model_selection("istvt", num_out_classes=1, cfg=cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params = istvt_mod.quantize_params(_tree.cast(params, jnp.bfloat16))
+
+    path = str(tmp_path / "int8_artifact")
+    manifest = SE.save_artifact(
+        path, model, params, state,
+        input_shape=(TINY["num_frames"], TINY["image_size"],
+                     TINY["image_size"], 3),
+        batch_sizes=(2,), input_dtype=jnp.bfloat16)
+    from jax import export as jexport
+    with open(os.path.join(path, "fwd_b2.jaxexport"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    assert "tpu_custom_call" in exported.mlir_module(), (
+        "int8+Pallas export produced no tpu_custom_call — the kernels "
+        f"fell off the exported graph (waived={manifest['waived_custom_calls']})")
+
+    scorer = SE.load_artifact(path)
+    live = Predictor(model, params, state, batch_sizes=(2,),
+                     input_dtype=jnp.bfloat16)
+    clips = _clips(2, seed=11)
+    got = scorer.predict(clips)["logits"]
+    want = live.predict(clips)["logits"]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
 def test_serve_cli_artifact_flag(tiny_model, tmp_path):
     """--artifact path of cli/serve builds the predictor from disk."""
     model, params, state = tiny_model
