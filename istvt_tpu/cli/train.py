@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_pipe", type=int, default=1,
                    help="pipeline-parallel stages over the ST layer "
                         "stack (parallel/pp.py; must divide depth; "
-                        "mutually exclusive with --mesh_model>1)")
+                        "composes with --mesh_model>1 via the manual-"
+                        "Megatron TP layer body)")
     p.add_argument("--microbatches", type=int, default=None,
                    help="pipeline microbatch count (default: stage count)")
     p.add_argument("--grad_accum", type=int, default=1,

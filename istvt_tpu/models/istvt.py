@@ -114,6 +114,55 @@ def quantize_params(params):
     return p
 
 
+def _tp_pack_layer(layer, mp: int):
+    """Trace-time re-pack of one ST layer for MANUAL tensor parallelism
+    inside the pipeline shard_map (TP×PP composition — parallel/pp.py).
+
+    The packed-qkv column order is [q|k|v] with heads head-major inside
+    each block (nn/attention.temporal_block_fused layout); a contiguous
+    1/mp chunk of that axis would mix whole q/k/v blocks, not heads. So
+    permute columns to (mp, 3, heads/mp, dh)-major: contiguous chunk r
+    is then exactly rank r's local packed [q|k|v] layout for heads//mp
+    heads, and shard_map's P(None, 'model') in_spec hands every rank a
+    kernel-ready slice. to_out/fc2 rows and fc1 columns are already
+    contiguous-chunkable. Pure reshapes/transposes — exact, and XLA
+    folds them into the (one-time-per-step) weight layout pass.
+    """
+    def permute(w):
+        di, i3 = w.shape
+        i = i3 // 3
+        return (w.reshape(di, 3, mp, i // mp)
+                 .transpose(0, 2, 1, 3).reshape(di, i3))
+
+    at, asp, ff = layer["attn_t"], layer["attn_s"], layer["ff"]
+    w3 = jnp.concatenate([at["to_qk"]["w"], at["to_v"]["w"]], axis=1)
+    return {
+        "t": {"norm": at["norm"], "qkv_w": permute(w3),
+              "out_w": at["to_out"]["w"], "out_b": at["to_out"]["b"]},
+        "s": {"norm": asp["norm"], "qkv_w": permute(asp["to_qkv"]["w"]),
+              "out_w": asp["to_out"]["w"], "out_b": asp["to_out"]["b"]},
+        "ff": {"norm": ff["norm"], "fc1": ff["fc1"], "fc2": ff["fc2"]},
+    }
+
+
+def _tp_pack_specs():
+    """PartitionSpecs (model axis only; parallel/pp.py adds the stacked
+    pipe axis) for a `_tp_pack_layer` tree: Megatron column/row rules
+    matching parallel/sharding.py."""
+    from jax.sharding import PartitionSpec as P
+
+    from istvt_tpu.core.mesh import MODEL_AXIS as M
+    norm = {"scale": P(), "bias": P()}
+    attn = lambda: {"norm": norm, "qkv_w": P(None, M),
+                    "out_w": P(M, None), "out_b": P()}
+    return {
+        "t": attn(),
+        "s": attn(),
+        "ff": {"norm": norm, "fc1": {"w": P(None, M), "b": P(M)},
+               "fc2": {"w": P(M, None), "b": P()}},
+    }
+
+
 def _feed_forward(p, x, cfg: ISTVTConfig, train: bool, rng):
     """GELU MLP dim -> 4*dim -> dim (reference module.py:23-34)."""
     from istvt_tpu.parallel import tp as _tp
@@ -356,9 +405,64 @@ def dsttr_apply(
         # over ppermute. Attention-map/dropout paths fall through to the
         # sequential loop (still correct under the mesh — jit replicates
         # the layer compute over the pipe axis there).
-        x = _pp.pipeline_layers(
-            x, p["layers"],
-            lambda lp, xv: run_layer(xv, lp, None, None, None)[0])
+        if _tp.active():
+            # TP×PP composition: inside the pipe shard_map the SPMD
+            # partitioner can't shard the GEMMs, so the layer body is
+            # hand-written Megatron — column-parallel LN->QKV on this
+            # rank's head shard, the packed attention core on heads//mp
+            # local heads (exact: every head / (s,h) location attends
+            # independently, reference module.py:80-87,174-208), then
+            # row-parallel out/fc2 partial sums psum'd over 'model'.
+            mesh_tp, model_axis, _ = _tp.current()
+            mp = mesh_tp.shape[model_axis]
+            assert cfg.heads % mp == 0, (
+                f"TP×PP needs heads ({cfg.heads}) divisible by the "
+                f"model axis ({mp})")
+            from istvt_tpu.kernels.attention import (
+                _spatial_packed_reference, _temporal_packed_reference,
+                spatial_attention_packed, temporal_attention_packed)
+            core_t = (temporal_attention_packed if cfg.use_pallas
+                      else _temporal_packed_reference)
+            core_s = (spatial_attention_packed if cfg.use_pallas
+                      else _spatial_packed_reference)
+            h_local = cfg.heads // mp
+
+            def mm(u, w):
+                return linear({"w": w}, u)
+
+            def run_layer_manual_tp(lp, xv):
+                bq, nq, _ = xv.shape
+                t1 = nq // s
+                hn = layernorm(lp["t"]["norm"], xv)
+                qkv = mm(hn, lp["t"]["qkv_w"])
+                il = qkv.shape[-1] // 3
+                a = core_t(qkv.reshape(bq, t1, s, 3 * il), h_local)
+                out_t = jax.lax.psum(
+                    mm(a.reshape(bq, nq, il), lp["t"]["out_w"]),
+                    model_axis) + lp["t"]["out_b"].astype(xv.dtype)
+                hn = layernorm(lp["s"]["norm"], out_t)
+                qkv = mm(hn, lp["s"]["qkv_w"])
+                a = core_s(qkv.reshape(bq * t1, s, 3 * il), h_local,
+                           s_valid if s_valid < s else -1)
+                xv = jax.lax.psum(
+                    mm(a.reshape(bq, nq, il), lp["s"]["out_w"]),
+                    model_axis) + lp["s"]["out_b"].astype(xv.dtype) + xv
+                hn = layernorm(lp["ff"]["norm"], xv)
+                h1 = gelu(mm(hn, lp["ff"]["fc1"]["w"])
+                          + lp["ff"]["fc1"]["b"].astype(xv.dtype))
+                return jax.lax.psum(
+                    mm(h1, lp["ff"]["fc2"]["w"]),
+                    model_axis) + lp["ff"]["fc2"]["b"].astype(xv.dtype) + xv
+
+            if cfg.remat:
+                run_layer_manual_tp = jax.checkpoint(run_layer_manual_tp)
+            x = _pp.pipeline_layers(
+                x, [_tp_pack_layer(l, mp) for l in p["layers"]],
+                run_layer_manual_tp, param_specs=_tp_pack_specs())
+        else:
+            x = _pp.pipeline_layers(
+                x, p["layers"],
+                lambda lp, xv: run_layer(xv, lp, None, None, None)[0])
     else:
         for i, layer in enumerate(p["layers"]):
             frng = None

@@ -31,9 +31,14 @@ step builders enter `pp.scope(mesh, microbatches)` inside the traced
 function; `models/istvt.dsttr_apply` dispatches its layer loop here when
 the scope is active. The scope no-ops when the mesh has no pipe axis.
 Composition rules: pipe composes with the 'data' axis (the batch stays
-data-sharded; each data row runs its own pipeline) but is mutually
-exclusive with 'model'>1 — the TP kernels are themselves shard_map'd and
-shard_maps don't nest.
+data-sharded; each data row runs its own pipeline) AND with 'model'>1 —
+but since shard_maps don't nest, a model>1 mesh needs a layer_fn that is
+itself written in MANUAL Megatron style (local weight shards + explicit
+`lax.psum` over the model axis; models/istvt.dsttr_apply's
+run_layer_manual_tp is the ISTVT one) with `param_specs` declaring each
+leaf's model-axis
+sharding. A plain layer_fn under model>1 still computes correctly — the
+model ranks just replicate the work.
 """
 from __future__ import annotations
 
@@ -46,7 +51,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from istvt_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
+from istvt_tpu.core.mesh import DATA_AXIS, PIPE_AXIS
 from istvt_tpu.parallel.tp import shard_map_compat
 
 _STATE = threading.local()
@@ -65,10 +70,6 @@ def scope(mesh: Optional[Mesh], microbatches: Optional[int] = None,
     prev = getattr(_STATE, "ctx", None)
     if mesh is not None and pipe_axis in mesh.shape \
             and mesh.shape[pipe_axis] > 1:
-        assert mesh.shape.get(MODEL_AXIS, 1) == 1, (
-            "pipeline parallelism composes with 'data' but not 'model'>1: "
-            "the TP attention kernels are shard_map'd and shard_maps "
-            "don't nest (parallel/pp.py module docstring)")
         _STATE.ctx = (mesh, pipe_axis, data_axis, microbatches)
     else:
         _STATE.ctx = None
@@ -100,6 +101,7 @@ def pipeline_layers(
     x: jax.Array,
     layers: List,
     layer_fn: Callable[[object, jax.Array], jax.Array],
+    param_specs=None,
 ) -> jax.Array:
     """Run `x` through `layers` as a GPipe pipeline over the scope's mesh.
 
@@ -108,6 +110,14 @@ def pipeline_layers(
     shard_map). layer_fn(layer_params, x_local) -> x_local must be
     shape-preserving and batch-elementwise (true of the ST layer law,
     reference vivit.py:98-100). Returns (B, N, D), same shardings as x.
+
+    param_specs: optional pytree of PartitionSpec matching ONE layer's
+    structure, giving each weight leaf's intra-layer sharding (e.g. a
+    'model' TP axis for Megatron column/row shards). The leading stacked-
+    L axis is always pipe-sharded on top of it. When given, layer_fn
+    receives LOCAL weight shards and must psum its row-parallel partial
+    sums over the model axis itself. Every mesh axis is manual inside
+    the shard_map, so `lax.psum(v, MODEL_AXIS)` works directly.
     """
     mesh, pipe_axis, data_axis, microbatches = current()
     n_stages = mesh.shape[pipe_axis]
@@ -123,14 +133,21 @@ def pipeline_layers(
     m = math.gcd(m, b_local) or 1
 
     stacked = stack_layers(layers)
-    # early pipe-shard constraint: lets the partitioner fuse the stack
-    # into a local slice so each device materializes only its own stage's
-    # layers instead of the full L-stacked copy
+    if param_specs is None:
+        stacked_specs = jax.tree_util.tree_map(
+            lambda l: _pipe_spec(l, pipe_axis), stacked)
+    else:
+        stacked_specs = jax.tree_util.tree_map(
+            lambda sp: P(pipe_axis, *tuple(sp)), param_specs,
+            is_leaf=lambda v: isinstance(v, P))
+    # early pipe(+model)-shard constraint: lets the partitioner fuse the
+    # stack into a local slice so each device materializes only its own
+    # stage's (and TP rank's) layer slice instead of the full stacked copy
     stacked = jax.lax.with_sharding_constraint(
         stacked,
         jax.tree_util.tree_map(
-            lambda l: NamedSharding(mesh, _pipe_spec(l, pipe_axis)),
-            stacked))
+            lambda sp: NamedSharding(mesh, sp), stacked_specs,
+            is_leaf=lambda v: isinstance(v, P)))
 
     def local(x_local, stage_params):
         s_idx = jax.lax.axis_index(pipe_axis)
@@ -175,9 +192,7 @@ def pipeline_layers(
     out_spec = P(pipe_axis, data_axis, *([None] * (x.ndim - 1)))
     out = shard_map_compat(
         local, mesh,
-        in_specs=(x_spec,
-                  jax.tree_util.tree_map(
-                      lambda l: _pipe_spec(l, pipe_axis), stacked)),
+        in_specs=(x_spec, stacked_specs),
         out_specs=out_spec,
     )(x, stacked)
     return out[-1]

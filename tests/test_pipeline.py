@@ -186,16 +186,84 @@ def test_pipeline_train_step_matches_single_device():
 
 
 @needs8
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_pipeline_tp_forward_matches_sequential(use_pallas):
+    """TP×PP composition: a data=2 x model=2 x pipe=2 mesh running the
+    manual-Megatron layer body (head-sharded packed attention + psum'd
+    row-parallel projections) inside the pipe shard_map must reproduce
+    the single-device sequential layer loop."""
+    from istvt_tpu.parallel import tp
+    cfg_seq = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=4,
+                          num_classes=1, use_pallas=False)
+    cfg = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=4,
+                      num_classes=1, use_pallas=use_pallas)
+    vp = istvt.dsttr_init(jax.random.PRNGKey(0), cfg)
+    feats = _feats()
+
+    ref = jax.jit(lambda p, f: istvt.dsttr_apply(p, f, cfg_seq))(vp, feats)
+
+    mesh = make_mesh(data=2, model=2, pipe=2)
+    p_sh = shd.place(vp, shd.param_shardings(vp, mesh))
+    f_sh = jax.device_put(
+        feats, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")))
+
+    def fwd(p, f):
+        with tp.scope(mesh), pp.scope(mesh):
+            return istvt.dsttr_apply(p, f, cfg)
+
+    got = jax.jit(fwd)(p_sh, f_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+@needs8
+def test_pipeline_tp_grads_match_sequential():
+    """TP×PP backward: grads of a BCE-style scalar through the composed
+    mesh equal the sequential-loop grads (f32, small-dim DSTTr so the
+    reduction-order noise stays tiny)."""
+    from istvt_tpu.parallel import tp
+    cfg = ISTVTConfig(num_frames=2, image_size=72, feat_hw=3, depth=4,
+                      num_classes=1, dim=64, heads=4, dim_head=8,
+                      mlp_ratio=2)
+    vp = istvt.dsttr_init(jax.random.PRNGKey(1), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (8, 2, 3, 3, 64),
+                              jnp.float32) * 0.5
+
+    def loss_seq(p, f):
+        return jnp.sum(jax.nn.sigmoid(istvt.dsttr_apply(p, f, cfg)))
+
+    g_ref = jax.jit(jax.grad(loss_seq))(vp, feats)
+
+    mesh = make_mesh(data=2, model=2, pipe=2)
+    p_sh = shd.place(vp, shd.param_shardings(vp, mesh))
+    f_sh = jax.device_put(
+        feats, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")))
+
+    def loss_tp(p, f):
+        with tp.scope(mesh), pp.scope(mesh):
+            return jnp.sum(jax.nn.sigmoid(istvt.dsttr_apply(p, f, cfg)))
+
+    g_got = jax.jit(jax.grad(loss_tp))(p_sh, f_sh)
+    for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+        b = g_got
+        for k in path:
+            b = b[k.key if hasattr(k, "key") else k.idx]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+@needs8
 def test_pipeline_scope_guards():
-    """scope() must reject pipe+model>1 meshes (shard_maps don't nest)
-    and no-op on meshes without a pipe axis."""
+    """scope() must no-op on meshes without a pipe axis, activate on
+    model>1 meshes (TP×PP composition), and reject depth % pipe != 0."""
     mesh_dp = make_mesh(data=8, model=1)
     with pp.scope(mesh_dp):
         assert not pp.active()
-    mesh_bad = make_mesh(data=2, model=2, pipe=2)
-    with pytest.raises(AssertionError):
-        with pp.scope(mesh_bad):
-            pass
+    with pp.scope(make_mesh(data=2, model=2, pipe=2)):
+        assert pp.active()
     cfg = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=3,
                       num_classes=1)
     vp = istvt.dsttr_init(jax.random.PRNGKey(0), cfg)
