@@ -7,47 +7,64 @@ harness (reference test_time.py:1-9: 10k bs=1 forwards, wall-clock avg).
 Baseline: BASELINE.md targets >=5,000 clips/sec aggregate on a v5e-8
 slice, i.e. 625 clips/sec/chip — `vs_baseline` is measured
 clips/sec/chip divided by 625.
+
+DEADLINE DEFENSE (the round-3 bench artifact was rc=124: a remote
+compile outlived the driver's timeout and the round lost its official
+number). Architecture now: a lightweight PARENT process (no jax import)
+runs each measurement leg in a CHILD subprocess with a hard kill
+timeout, under a global wall-clock budget (env BENCH_BUDGET_S, default
+420 s). Legs in order of decreasing safety:
+
+  1. throughput B=16  — the known-fast-compiling config (round-2's
+     official 263 clips/s artifact used it); this leg's result alone is
+     a valid bench line.
+  2. throughput B=32  — measured faster per clip when it compiles
+     (~315 clips/s); attempted only if budget remains, upgraded into
+     the result only if it beats leg 1.
+  3. bs=1 latency     — enrichment only; skipped first under pressure.
+
+The parent prints the best completed result as the FINAL stdout line no
+matter which legs died — SIGALRM inside a child is NOT reliable (a
+blocked remote-compile RPC holds the interpreter, handlers never run),
+so the kill lives in the parent where it always works. A leg that times
+out is killed and recorded in extra.legs; it cannot take the JSON line
+down with it.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
-
 PER_CHIP_BASELINE = 5000.0 / 8.0
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
+# --------------------------------------------------------------------------
+# child: one measurement leg, prints one JSON line, exits
+# --------------------------------------------------------------------------
+
+def _child_throughput(batch: int, iters: int) -> None:
+    sys.path.insert(0, REPO)
+    import jax
+    import jax.numpy as jnp
+
     from istvt_tpu.core.config import ISTVTConfig
     from istvt_tpu.core import tree as tree_util
     from istvt_tpu.core.platform import enable_compilation_cache
     from istvt_tpu.models import istvt
 
     enable_compilation_cache()
-
     platform = jax.devices()[0].platform
-    # batch size: saturate the MXU on TPU; stay small on CPU fallback
-    # B=32 measured faster per clip than 16 (3.29 vs 3.37 ms int8) —
-    # fixed per-kernel overheads amortize further
-    batch = int(os.environ.get("BENCH_BATCH", "32" if platform == "tpu" else "1"))
-    # 32 chained iterations: the per-CALL fixed cost (tunnel round trip +
-    # dispatch, measured ~33 ms — see BASELINE.md bs=1 note) amortizes to
-    # ~1 ms/iter; device time per batch is what remains
-    iters = int(os.environ.get("BENCH_ITERS", "32" if platform == "tpu" else "2"))
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     # The PRODUCTION serving path is int8 W8A8 on the ST-layer GEMMs
     # (kernels/quant.py) — it is the default measurement here, like it
     # would be in deployment: accuracy deltas are asserted by
     # tests/test_quant.py (logits <=5e-2, synthetic AUC delta <0.02) and
     # documented in BASELINE.md. BENCH_DTYPE=bf16 measures the float
-    # path. TPU-only either way: off-TPU the q8 kernels never engage
-    # (use_pallas gates them), so the flag is ignored there.
+    # path. TPU-only either way: off-TPU the q8 kernels never engage.
     quant = os.environ.get("BENCH_DTYPE", "int8") == "int8" \
         and platform == "tpu"
 
@@ -78,16 +95,12 @@ def main():
         dtype)
 
     # NOTES on honest measurement under remote-tunnel backends:
-    # (a) every timed call uses a DIFFERENT input -- byte-identical requests
-    # can be replay-cached; (b) block_until_ready may return before remote
-    # execution finishes, so the timed region ends by FETCHING a scalar
-    # that data-depends on EVERY iteration's output (the running sum) --
-    # nothing can be skipped; (c) iterations are chained WITHOUT
-    # intermediate fetches so the ~tens-of-ms tunnel round trip is paid
-    # once, not per iteration (it is host overhead, not device time).
-    # run-specific salt so the timed request is never byte-identical to a
-    # previous bench invocation (the tunnel replay-caches identical
-    # requests)
+    # (a) every timed call uses a DIFFERENT input — byte-identical
+    # requests can be replay-cached; (b) block_until_ready may return
+    # before remote execution finishes, so the timed region ends by
+    # FETCHING a scalar that data-depends on EVERY iteration's output;
+    # (c) iterations are chained WITHOUT intermediate fetches so the
+    # ~33 ms tunnel round trip is paid once, not per iteration.
     salt = jnp.asarray((time.time() % 997) / 1e4, dtype)
     clips = clips + salt
     float(fwd_n(params, state, clips, 1))  # compile + warmup
@@ -95,49 +108,163 @@ def main():
     float(fwd_n(params, state, clips, iters))
     dt = (time.perf_counter() - t0) / iters
 
-    clips_per_sec = batch / dt
-    per_clip_ms = dt * 1000.0 / batch   # MEAN over the chained iterations
-
-    # true single-clip p50 latency (BASELINE.md tracks it separately from
-    # batched throughput)
-    lat_ms = dev_ms = None
-    if os.environ.get("BENCH_LATENCY", "1") == "1" and batch > 1:
-        # ONE bs=1 program serves both measurements (each distinct shape
-        # costs a full ~60-150s remote compile): p50 = median of single
-        # calls (includes the tunnel round trip, what a caller sees);
-        # device_ms = 16 chained forwards in one call, so the fixed cost
-        # is paid once — p50 minus device_ms is transport, not compute.
-        clip1 = clips[:1]
-        float(fwd_n(params, state, clip1, 1))  # compile + warm
+    out = {
+        "clips_per_sec": round(batch / dt, 2),
+        "per_clip_ms": round(dt * 1000.0 / batch, 3),
+        "platform": platform,
+        "batch": batch,
+        "iters": iters,
+        "dtype": "int8_w8a8" if quant else
+                 str(dtype.__name__ if hasattr(dtype, "__name__")
+                     else dtype),
+    }
+    if batch == 1:
+        # true single-clip p50 latency (includes the tunnel round trip,
+        # what a caller sees); device_ms = chained forwards in one call
+        # so the fixed per-call cost is paid once.
         lat = []
         for i in range(5):
             t0 = time.perf_counter()
-            float(fwd_n(params, state, clip1 + 0.01 * (i + 1), 1))
+            float(fwd_n(params, state, clips + 0.01 * (i + 1), 1))
             lat.append(time.perf_counter() - t0)
         lat.sort()
-        lat_ms = lat[len(lat) // 2] * 1000.0
+        out["p50_latency_ms_bs1"] = round(lat[len(lat) // 2] * 1000.0, 2)
         t0 = time.perf_counter()
-        float(fwd_n(params, state, clip1, 16))
-        dev_ms = (time.perf_counter() - t0) / 16 * 1000.0
+        float(fwd_n(params, state, clips, 16))
+        out["device_ms_bs1"] = round(
+            (time.perf_counter() - t0) / 16 * 1000.0, 2)
+    print(json.dumps(out), flush=True)
+
+
+# --------------------------------------------------------------------------
+# parent: schedule legs under the budget, always print one line
+# --------------------------------------------------------------------------
+
+def _run_leg(args: list[str], timeout_s: float) -> dict | None:
+    """Run one child leg; return its parsed JSON dict or None."""
+    if timeout_s < 30:
+        return None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    if "--leg" in sys.argv:
+        i = sys.argv.index("--leg")
+        batch = int(sys.argv[i + 1])
+        iters = int(sys.argv[i + 2])
+        _child_throughput(batch, iters)
+        return
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    deadline = time.monotonic() + budget
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    legs: dict[str, str] = {}
+    best: dict | None = None
+
+    # platform probe in a child (importing jax in the parent would let a
+    # hung tunnel handshake take the whole bench down).
+    on_tpu = False
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True,
+            timeout=min(120.0, max(30.0, remaining() / 4)), cwd=REPO)
+        on_tpu = probe.stdout.strip().splitlines()[-1:] == ["tpu"]
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+
+    batch_env = os.environ.get("BENCH_BATCH")
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
+
+    if batch_env is not None:
+        plan = [(int(batch_env), iters)]
+    elif on_tpu:
+        # B=16 int8 is the safety anchor AND the measured best (315.4
+        # clips/s driver-style capture, r4): B=32 measured no faster
+        # after the r3 kernel work and its compile is the known
+        # budget-killer, so it is opt-in via BENCH_TRY_B32=1 and runs
+        # LAST, after the latency enrichment is already secured.
+        plan = [(16, iters)]
+        if os.environ.get("BENCH_TRY_B32", "0") == "1":
+            plan.append((32, iters))
+    else:
+        plan = [(1, 2)]
+
+    def try_leg(batch, n_iters):
+        nonlocal best
+        cap = remaining() - 15
+        r = _run_leg(["--leg", str(batch), str(n_iters)], cap)
+        if r is None:
+            legs[f"b{batch}"] = "timeout_or_error"
+            return
+        legs[f"b{batch}"] = "ok"
+        if best is None or r["clips_per_sec"] > best["clips_per_sec"]:
+            best = r
+
+    try_leg(*plan[0])
+
+    # latency enrichment BEFORE any extra throughput legs — a timed-out
+    # b32 attempt must not starve it (that happened in the r4 shakeout).
+    lat = None
+    if (best is not None and best.get("batch", 1) > 1
+            and os.environ.get("BENCH_LATENCY", "1") == "1"
+            and remaining() > 180):
+        lat = _run_leg(["--leg", "1", "4"], remaining() - 15)
+        legs["b1_latency"] = "ok" if lat is not None else "timeout_or_error"
+
+    for batch, n_iters in plan[1:]:
+        try_leg(batch, n_iters)
+
+    if best is None:
+        # nothing completed: emit an honest failure line (still valid
+        # JSON so the driver records *something* parseable).
+        print(json.dumps({
+            "metric": "istvt_fwd_clips_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "clips/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": "all bench legs timed out", "legs": legs,
+                      "budget_s": budget},
+        }))
+        sys.exit(0)
+
+    cps = best["clips_per_sec"]
     result = {
         "metric": "istvt_fwd_clips_per_sec_per_chip",
-        "value": round(clips_per_sec, 2),
+        "value": cps,
         "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / PER_CHIP_BASELINE, 4),
+        "vs_baseline": round(cps / PER_CHIP_BASELINE, 4),
         "extra": {
-            "platform": platform,
-            "batch": batch,
-            "iters": iters,
-            "dtype": "int8_w8a8" if quant else
-                     str(dtype.__name__ if hasattr(dtype, "__name__")
-                         else dtype),
-            "per_clip_ms": round(per_clip_ms, 3),
+            "platform": best["platform"],
+            "batch": best["batch"],
+            "iters": best["iters"],
+            "dtype": best["dtype"],
+            "per_clip_ms": best["per_clip_ms"],
+            "legs": legs,
         },
     }
-    if lat_ms is not None:
-        result["extra"]["p50_latency_ms_bs1"] = round(lat_ms, 2)
-    if dev_ms is not None:
-        result["extra"]["device_ms_bs1"] = round(dev_ms, 2)
+    if lat is not None:
+        result["extra"]["p50_latency_ms_bs1"] = lat.get("p50_latency_ms_bs1")
+        result["extra"]["device_ms_bs1"] = lat.get("device_ms_bs1")
     print(json.dumps(result))
 
 

@@ -294,14 +294,26 @@ class SyntheticVideoDataset(ClipDataset):
     a moving patch — exactly the signal the self-subtract temporal
     attention (reference module.py:193) is built to detect, so tiny models
     can overfit it in smoke tests.
+
+    static_patch=True pins the artifact patch to ONE (per-clip random)
+    location across frames instead of moving it: the noise is still
+    temporally decorrelated (the detection signal is unchanged) but now
+    also spatially consistent, so LRP spatial relevance (cam_s) has a
+    localizable ground truth — used by the held-out capability test
+    (tests/test_e2e_learning.py) to assert saliency maps point at the
+    manipulated region, the reference's visualize_rel.py:257-294 contract.
+    patch_size overrides the default size//8 artifact extent.
     """
 
     def __init__(self, num_clips: int = 64, seq_len: int = 6,
-                 size: int = 300, seed: int = 0):
+                 size: int = 300, seed: int = 0,
+                 static_patch: bool = False, patch_size: int | None = None):
         self.num_clips = num_clips
         self.seq_len = seq_len
         self.size = size
         self.seed = seed
+        self.static_patch = static_patch
+        self.patch_size = patch_size
 
     def __len__(self):
         return self.num_clips
@@ -315,10 +327,12 @@ class SyntheticVideoDataset(ClipDataset):
         for t in range(self.seq_len):
             clip[t] = np.roll(clip[t], shift=t, axis=1)
         if label == 1:
-            ps = max(self.size // 8, 2)
+            ps = self.patch_size or max(self.size // 8, 2)
+            y = x = None
             for t in range(self.seq_len):
-                y = int(rng.integers(0, self.size - ps))
-                x = int(rng.integers(0, self.size - ps))
+                if y is None or not self.static_patch:
+                    y = int(rng.integers(0, self.size - ps))
+                    x = int(rng.integers(0, self.size - ps))
                 clip[t, y:y + ps, x:x + ps] += rng.normal(
                     0, 1.0, (ps, ps, 3)).astype(np.float32)
         return {"clips": clip, "labels": np.int32(label),
