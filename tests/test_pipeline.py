@@ -186,6 +186,64 @@ def test_pipeline_train_step_matches_single_device():
 
 
 @needs8
+def test_pipeline_train_step_fast_guard():
+    """Default-suite (<60 s) PP train-step equivalence — the always-run
+    regression guard for the 16-25 min slow full-model test above: a
+    small-dim DSTTr-only model through the SAME make_train_step path
+    (loss + grads + optimizer update) on a data=2 x pipe=4 mesh vs the
+    unsharded step. SGD (not AdamW) so the update is linear in the
+    gradient and sharded reduction-order noise stays near f32 epsilon
+    instead of the documented lr*sign(g) sign-flip bound."""
+    cfg = ISTVTConfig(num_frames=2, image_size=72, feat_hw=3, depth=4,
+                      num_classes=1, dim=64, heads=4, dim_head=8,
+                      mlp_ratio=2)
+
+    class TinyDSTTr:
+        """make_train_step model protocol over the transformer stack
+        alone (no Xception stem): 'clips' are pre-stem feature grids."""
+
+        def init(self, rng):
+            return istvt.dsttr_init(rng, cfg), {}
+
+        def apply(self, params, state, x, train=False, rng=None):
+            return istvt.dsttr_apply(params, x, cfg, train=train,
+                                     rng=rng), state
+
+    model = TinyDSTTr()
+    tc = TrainConfig(optimizer="sgd", momentum=0.9)
+    opt = train_step.make_optimizer(tc, cosine_schedule(1e-2, 100))
+    ts0 = train_step.create_train_state(model, jax.random.PRNGKey(0), opt)
+    rng = jax.random.PRNGKey(42)
+    rs = np.random.RandomState(3)
+    batch = {
+        "clips": jnp.asarray(rs.randn(8, 2, 3, 3, 64).astype(np.float32)),
+        "labels": jnp.asarray(rs.randint(0, 2, size=8)),
+    }
+
+    step_single = train_step.make_train_step(model, opt, donate=False)
+    ts1, m1 = step_single(ts0, batch, rng)
+
+    mesh = make_mesh(data=2, model=1, pipe=4)
+    ts_sh = train_step.TrainState(
+        params=shd.place(ts0.params, shd.replicated_shardings(ts0.params,
+                                                              mesh)),
+        model_state=ts0.model_state,
+        opt_state=jax.device_put(ts0.opt_state),
+        step=ts0.step,
+    )
+    sbatch = shd.place(batch, shd.batch_shardings(batch, mesh))
+    step_pp = train_step.make_train_step(model, opt, donate=False, mesh=mesh)
+    ts2, m2 = step_pp(ts_sh, sbatch, rng)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+    gn = float(m1["grad_norm"])
+    assert abs(gn - float(m2["grad_norm"])) < 1e-4 * max(gn, 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+@needs8
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_pipeline_tp_forward_matches_sequential(use_pallas):
     """TP×PP composition: a data=2 x model=2 x pipe=2 mesh running the
