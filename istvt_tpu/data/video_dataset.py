@@ -127,7 +127,8 @@ class VideoSeqDataset(ClipDataset):
         if not self.use_native:
             return None
         t = self.transform
-        if params or t.shuffle_grid or t.compress_range or t.augment:
+        if params or t.shuffle_grid or t.compress_range or t.augment \
+                or getattr(t, "raw_uint8", False):
             return None
         if tuple(t.mean) != (0.5, 0.5, 0.5) or tuple(t.std) != (0.5, 0.5, 0.5):
             return None
@@ -160,7 +161,9 @@ class VideoSeqDataset(ClipDataset):
                 if isinstance(out, tuple):
                     out, perm = out
                 frames.append(out)
-            clip = np.stack(frames).astype(np.float32)
+            clip = np.stack(frames)
+            if clip.dtype != np.uint8:       # raw_uint8 ingest stays u8
+                clip = clip.astype(np.float32)
         item: Dict = {
             "clips": clip,
             "labels": np.int32(entry.label),
@@ -326,6 +329,7 @@ class SyntheticVideoDataset(ClipDataset):
         # smooth global motion
         for t in range(self.seq_len):
             clip[t] = np.roll(clip[t], shift=t, axis=1)
+        y = x = -1
         if label == 1:
             ps = self.patch_size or max(self.size // 8, 2)
             y = x = None
@@ -335,5 +339,11 @@ class SyntheticVideoDataset(ClipDataset):
                     x = int(rng.integers(0, self.size - ps))
                 clip[t, y:y + ps, x:x + ps] += rng.normal(
                     0, 1.0, (ps, ps, 3)).astype(np.float32)
-        return {"clips": clip, "labels": np.int32(label),
-                "fake_types": np.int32(label)}
+        out = {"clips": clip, "labels": np.int32(label),
+               "fake_types": np.int32(label)}
+        if self.static_patch:
+            # localization ground truth: top-left of the (fixed) artifact
+            # patch, (-1,-1) for real clips — consumed by the LRP
+            # capability test to name the manipulated feature cells
+            out["patch_yx"] = np.array([y, x], np.int32)
+        return out

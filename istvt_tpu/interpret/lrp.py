@@ -90,6 +90,16 @@ def generate_lrp(params, state, clips, cfg: ISTVTConfig = ISTVTConfig(),
         reference's method string, visualize_rel.py:257);
       'rollout' — plain attention rollout (no gradients);
       'last_layer' — final layer's CLS attention only.
+
+    Interpretation caveats (measured on tiny models, r4):
+      * gradient-weighted maps keep only POSITIVE evidence for logit
+        `index` (Chefer rule 6) — a clip the model scores as real yields
+        near-zero fake-relevance and the rollout degenerates to the
+        identity (cam ~ 0). Check the logit sign before reading a map.
+      * cam_s needs depth >= 2 to attribute real frames: the head reads
+        x[:, 0, 0] and each layer runs temporal->spatial attention, so at
+        depth=1 the spatial maps of frame rows 1..T cannot influence the
+        logit (their grads are exactly zero by architecture).
     """
     attns, grads, _ = attention_maps_and_grads(params, state, clips, cfg,
                                                index)

@@ -148,6 +148,28 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def recalibrate_bn(model, params, model_state, batches, rng=None):
+    """Replace BatchNorm running statistics with the ACTUAL activation
+    statistics under the current params (averaged over `batches`).
+
+    Running stats converge at momentum 0.1 per step, so short runs keep
+    an O(0.9^steps) residual of the init stats (var=1) — enough to
+    collapse eval-mode logits while train-mode separates perfectly (the
+    reference never hits this because it trains for epochs over real
+    datasets, train_CNN.py:209; short-horizon users and the e2e
+    capability test do). One train-mode pass per batch; each BN's exact
+    batch stats are recovered by inverting the momentum update
+    (batch = (new - (1-m)*old) / m), then averaged across batches."""
+    stats = []
+    for b in batches:
+        x = b.get("clips", b.get("images"))
+        _, ns = model.apply(params, model_state, x, train=True, rng=rng)
+        stats.append(jax.tree_util.tree_map(
+            lambda old, new: (new - 0.9 * old) / 0.1, model_state, ns))
+    n = float(len(stats))
+    return jax.tree_util.tree_map(lambda *vs: sum(vs) / n, *stats)
+
+
 def make_eval_step(model, mesh=None, microbatches=None):
     """jitted eval(params, model_state, batch) -> per-batch sufficient stats
     (reference eval loop train_CNN.py:837-984, no_grad threshold-at-0)."""

@@ -1,45 +1,167 @@
-"""End-to-end capability test: a tiny ISTVT must LEARN the synthetic
-temporal artifact (the exact signal the self-subtract attention targets,
-reference module.py:193) — overfitting a small fixed set to high
-accuracy through the full data -> loader -> train-step path."""
+"""Held-out end-to-end capability test (VERDICT r3 #3).
+
+A tiny ISTVT must LEARN the synthetic temporal artifact — per-frame
+independent noise in a static patch, the exact signal the self-subtract
+temporal attention targets (reference network/vivit/module.py:193) — and
+then PROVE it on data it never trained on:
+
+  1. generalization: val AUC / accuracy on a disjoint val set;
+  2. serving parity: the same eval through the int8 W8A8 path, bounded
+     logit delta (reference has no serving path; ours must not change
+     the answer);
+  3. interpretability: LRP saliency localizes the artifact — cam_s mass
+     concentrates on the manipulated patch cells and cam_t on the
+     manipulated frames (the reference saliency contract,
+     visualize_rel.py:257-294).
+
+Calibration (r4, CPU): val logits +11.8 fake / -? real (AUC 1.0),
+q8 max logit delta 0.005, spatial share/uniform ratios 1.59-2.82x,
+temporal shares 0.957 (frames 1,2; uniform 0.667) and 0.919 (frame 2
+only; uniform 0.333). Thresholds below sit well under those points.
+
+Notes that cost a day — do not regress them:
+  * BN running stats need recalibration after short training runs
+    (train/step.recalibrate_bn) or eval-mode logits collapse toward the
+    head bias while train-mode separates perfectly;
+  * depth >= 2 is REQUIRED for spatial attribution (at depth=1 the
+    real-frame spatial maps cannot influence the x[:,0,0] head — their
+    grads are architecturally zero, see interpret/lrp.py docstring).
+"""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from istvt_tpu.core.config import ISTVTConfig, TrainConfig
-from istvt_tpu.data import ClipLoader, SyntheticVideoDataset
+from istvt_tpu.data import SyntheticVideoDataset
+from istvt_tpu.models import istvt
 from istvt_tpu.models.registry import model_selection
 from istvt_tpu.train import step as S
 from istvt_tpu.train.metrics import auc
 from istvt_tpu.train.schedule import cosine_schedule
 
+T, SZ, PS = 3, 72, 24
+CFG = ISTVTConfig(num_frames=T, image_size=SZ, feat_hw=5, depth=2)
 
-def test_istvt_learns_synthetic_temporal_artifact():
-    cfg = ISTVTConfig(num_frames=3, image_size=72, feat_hw=5, depth=1)
-    model = model_selection("istvt", num_out_classes=1, cfg=cfg)
-    tc = TrainConfig(optimizer="adamw")
-    opt = S.make_optimizer(tc, cosine_schedule(3e-4, 10_000))
+
+def _batch_of(ds, idx):
+    items = [ds[i] for i in idx]
+    return {"clips": jnp.asarray(np.stack([it["clips"] for it in items])),
+            "labels": jnp.asarray(np.stack([it["labels"] for it in items]))}
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Train on 24 clips (static-patch artifacts), recalibrate BN."""
+    model = model_selection("istvt", num_out_classes=1, cfg=CFG)
+    opt = S.make_optimizer(TrainConfig(optimizer="adamw"),
+                           cosine_schedule(3e-4, 10_000))
     ts = S.create_train_state(model, jax.random.PRNGKey(0), opt)
     step = S.make_train_step(model, opt, donate=False)
 
-    ds = SyntheticVideoDataset(num_clips=16, seq_len=3, size=72, seed=0)
-    loader = ClipLoader(ds, batch_size=16, shuffle=False, num_workers=2)
-    batch = next(iter(loader))
-    batch = {"clips": jnp.asarray(batch["clips"]),
-             "labels": jnp.asarray(batch["labels"])}
-
+    train_ds = SyntheticVideoDataset(num_clips=24, seq_len=T, size=SZ,
+                                     seed=0, static_patch=True,
+                                     patch_size=PS)
+    batches = [_batch_of(train_ds, range(i, i + 8)) for i in (0, 8, 16)]
     rng = jax.random.PRNGKey(1)
-    first_loss = None
-    for i in range(25):
-        rng, srng = jax.random.split(rng)
-        ts, m = step(ts, batch, srng)
-        if first_loss is None:
-            first_loss = float(m["loss"])
-    final_loss = float(m["loss"])
-    assert final_loss < first_loss * 0.7, (first_loss, final_loss)
+    first = None
+    for _ in range(6):
+        for b in batches:
+            rng, srng = jax.random.split(rng)
+            ts, m = step(ts, b, srng)
+            first = first if first is not None else float(m["loss"])
+    assert float(m["loss"]) < 0.1 * first, (first, float(m["loss"]))
+    mstate = S.recalibrate_bn(model, ts.params, ts.model_state, batches)
+    return model, ts.params, mstate
 
-    eval_fn = S.make_eval_step(model)
-    out = eval_fn(ts.params, ts.model_state, batch)
-    train_auc = float(auc(out["logits"], out["labels"]))
-    assert train_auc > 0.9, train_auc
+
+@pytest.fixture(scope="module")
+def val_eval(trained):
+    model, params, mstate = trained
+    val_ds = SyntheticVideoDataset(num_clips=16, seq_len=T, size=SZ,
+                                   seed=999, static_patch=True,
+                                   patch_size=PS)
+    vb = _batch_of(val_ds, range(16))
+    out = S.make_eval_step(model)(params, mstate, vb)
+    return val_ds, vb, out
+
+
+def test_heldout_val_auc(val_eval):
+    _, _, out = val_eval
+    va = float(auc(out["logits"], out["labels"]))
+    lg, lab = np.asarray(out["logits"]), np.asarray(out["labels"])
+    acc = float(np.mean((lg > 0) == (lab == 1)))
+    assert va >= 0.95, va
+    assert acc >= 0.9, (acc, lg)
+
+
+def test_int8_path_matches_float_eval(trained, val_eval):
+    _, params, mstate = trained
+    _, vb, out = val_eval
+    cfg_q = ISTVTConfig(num_frames=T, image_size=SZ, feat_hw=5, depth=2,
+                        use_pallas=True, quantize="int8")
+    model_q = model_selection("istvt", num_out_classes=1, cfg=cfg_q)
+    out_q = S.make_eval_step(model_q)(istvt.quantize_params(params),
+                                      mstate, vb)
+    va_q = float(auc(out_q["logits"], out_q["labels"]))
+    delta = float(jnp.max(jnp.abs(out_q["logits"] - out["logits"])))
+    assert va_q >= 0.95, va_q
+    assert delta <= 0.15, delta   # measured 0.005-0.012 (CPU interpret)
+
+
+def test_lrp_localizes_spatially(trained, val_eval):
+    """cam_s mass on the known manipulated cells of held-out fakes must
+    beat the uniform share by a clear factor (measured 1.59-2.82x)."""
+    from istvt_tpu.interpret.lrp import generate_lrp
+    _, params, mstate = trained
+    val_ds, _, _ = val_eval
+    fakes = [val_ds[i] for i in range(16) if val_ds[i]["labels"] == 1][:6]
+    clips = jnp.asarray(np.stack([f["clips"] for f in fakes]))
+    logits, _ = istvt.apply(params, mstate, clips, CFG, train=False)
+    assert bool(jnp.all(logits > 0)), np.asarray(logits).ravel()
+
+    cam_s, _ = generate_lrp(params, mstate, clips, CFG, index=0)
+    cam_s = np.asarray(cam_s)                       # (B, T, 25)
+    cell = SZ / CFG.feat_hw
+    ratios = []
+    for j, f in enumerate(fakes):
+        y, x = f["patch_yx"]
+        rows = range(int(y // cell), int((y + PS - 1) // cell) + 1)
+        cols = range(int(x // cell), int((x + PS - 1) // cell) + 1)
+        cells = [r * CFG.feat_hw + c for r in rows for c in cols]
+        sm = cam_s[j] / (cam_s[j].sum(axis=-1, keepdims=True) + 1e-9)
+        share = sm[:, cells].sum(axis=-1).mean()
+        ratios.append(share / (len(cells) / CFG.feat_hw ** 2))
+    assert min(ratios) >= 1.2, ratios
+    assert float(np.mean(ratios)) >= 1.4, ratios
+
+
+def test_lrp_localizes_temporally(trained):
+    """cam_t mass must concentrate on the manipulated frames of clips
+    where only a SUBSET of frames carries the artifact (measured 0.957
+    for frames {1,2} and 0.919 for frame {2} alone)."""
+    from istvt_tpu.interpret.lrp import generate_lrp
+    _, params, mstate = trained
+
+    def subset_fake(seed, frames):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(0, 0.3, (SZ, SZ, 3)).astype(np.float32)
+        clip = np.stack([np.roll(base, t, axis=1) for t in range(T)])
+        y = int(rng.integers(0, SZ - PS))
+        x = int(rng.integers(0, SZ - PS))
+        for t in frames:
+            clip[t, y:y + PS, x:x + PS] += rng.normal(
+                0, 1.0, (PS, PS, 3)).astype(np.float32)
+        return clip
+
+    for frames, uniform, floor in (((1, 2), 2 / 3, 0.85), ((2,), 1 / 3, 0.7)):
+        clips = jnp.asarray(np.stack([subset_fake(100 + k, frames)
+                                      for k in range(6)]))
+        logits, _ = istvt.apply(params, mstate, clips, CFG, train=False)
+        assert bool(jnp.all(logits > 0)), np.asarray(logits).ravel()
+        _, cam_t = generate_lrp(params, mstate, clips, CFG, index=0)
+        tm = np.asarray(cam_t).sum(axis=-1)
+        tm = tm / (tm.sum(axis=-1, keepdims=True) + 1e-9)
+        share = tm[:, list(frames)].sum(axis=-1)
+        assert share.mean() >= floor, (frames, share, uniform)
