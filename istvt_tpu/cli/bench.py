@@ -27,6 +27,20 @@ def build_parser():
                    help="gradient-accumulation microbatches (train_step)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize ST layers + stem (train_step)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="end-to-end input pipeline: disk JPEG -> ClipLoader"
+                        " -> device_feed -> int8 forward (aggregate clips/s"
+                        " + host/device overlap)")
+    p.add_argument("--data_root", default=None,
+                   help="--pipeline: FF++-style frame tree root (a synthetic"
+                        " one is generated under /tmp when omitted)")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--no_native", action="store_true",
+                   help="--pipeline: force the PIL decode path")
+    p.add_argument("--f32_ingest", action="store_true",
+                   help="--pipeline: ship normalized f32 clips instead of"
+                        " the default uint8-with-device-normalize ingest"
+                        " (4x the host->device bytes)")
     return p
 
 
@@ -35,11 +49,182 @@ CLIP_MODELS = ("istvt", "resnet_3d", "vivit", "vanilla_tr", "i3d",
                "resnet3d")
 
 
+def _ensure_frame_tree(root, size, videos=32, frames=12, quality=90):
+    """Synthetic FF++-style JPEG tree (hq/{original,Deepfakes}/vid/frame.jpg)
+    so the pipeline bench has real disk decode work without real data."""
+    import os
+    import numpy as np
+    from PIL import Image
+    flag = os.path.join(root, ".complete")
+    if os.path.exists(flag):
+        return root
+    rng = np.random.RandomState(0)
+    for m in ("original", "Deepfakes"):
+        for v in range(videos // 2):
+            d = os.path.join(root, "hq", m, f"{v:03d}")
+            os.makedirs(d, exist_ok=True)
+            for f in range(frames):
+                img = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+                Image.fromarray(img).save(os.path.join(d, f"{f:04d}.jpg"),
+                                          quality=quality)
+    open(flag, "w").close()
+    return root
+
+
+def run_pipeline(args):
+    """Disk -> ClipLoader(threaded decode) -> device_feed -> int8 forward.
+
+    The reference's analog seam is DataLoader(bs=16, workers=8) feeding
+    the CUDA forward (reference train_CNN.py:176-177). Reports the
+    end-to-end aggregate clips/s plus each side measured alone, so the
+    bottleneck (host decode vs device compute) is explicit. Forward
+    dispatches are async (fetch once at the end): decode of batch N+1
+    overlaps device execution of batch N exactly as in serving."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from istvt_tpu.core import tree as tree_util
+    from istvt_tpu.core.config import ISTVTConfig
+    from istvt_tpu.data import ClipLoader, VideoSeqDataset, device_feed
+    from istvt_tpu.models import istvt
+
+    from istvt_tpu.data.loader import device_normalize
+    from istvt_tpu.data.transforms import Transform
+
+    platform = jax.devices()[0].platform
+    size, T, B = args.input_size, args.seq_len, args.batch_size
+    root = args.data_root or _ensure_frame_tree(
+        os.path.join(tempfile.gettempdir(), f"istvt_bench_tree_{size}"),
+        size)
+
+    uint8 = not args.f32_ingest
+    n_batches = max(args.iters, 4)
+    ds = VideoSeqDataset(root=root, quality="hq", size=size, mode="Test",
+                         transform=Transform(size, raw_uint8=uint8),
+                         seq_len=T, use_native=not args.no_native,
+                         dataset_len=n_batches * B)
+    native_used = ds._native_fast_path(
+        ds._pick_clip(ds.entries[0], ds._rng(0)), {}) is not None
+
+    def make_loader():
+        return ClipLoader(ds, batch_size=B, shuffle=True, drop_last=True,
+                          num_workers=args.num_workers, prefetch=2)
+
+    # ---- host side alone: decode+collate rate (steady-state: skip batch 0)
+    lo = make_loader()
+    it = iter(lo)
+    next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for b in it:
+        n += b["labels"].shape[0]
+    host_cps = n / (time.perf_counter() - t0)
+
+    # ---- device side alone + end-to-end
+    quant = platform == "tpu"
+    cfg = ISTVTConfig(num_frames=T, image_size=size,
+                      feat_hw={300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
+                          size, max(size // 16, 2)),
+                      use_pallas=platform == "tpu",
+                      quantize="int8" if quant else "none")
+    params, state = istvt.init(jax.random.PRNGKey(0), cfg)
+    if platform == "tpu":
+        params = tree_util.cast(params, jnp.bfloat16)
+    if quant:
+        params = istvt.quantize_params(params)
+
+    cd = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    @jax.jit
+    def fwd(params, state, clips):
+        x = device_normalize(clips, dtype=cd) if clips.dtype == jnp.uint8 \
+            else clips.astype(cd)
+        logits, _ = istvt.apply(params, state, x, cfg, train=False)
+        return jnp.sum(logits.astype(jnp.float32))
+
+    warm = jnp.zeros((B, T, size, size, 3),
+                     jnp.uint8 if uint8 else jnp.float32)
+    float(fwd(params, state, warm))  # compile
+
+    feed = device_feed(make_loader())
+    first = next(feed)               # spin up the producer
+    float(fwd(params, state, first["clips"]))
+    outs, n = [], 0
+    t0 = time.perf_counter()
+    for b in feed:
+        outs.append(fwd(params, state, b["clips"]))   # async dispatch
+        n += int(b["labels"].shape[0])
+    for o in outs:
+        float(o)                                      # block on everything
+    e2e_cps = n / (time.perf_counter() - t0)
+
+    # transfer alone: device_put of PRE-DECODED host batches — isolates
+    # the H2D link (through the bench tunnel this is the binding seam;
+    # on a co-located host PCIe/DMA makes it negligible)
+    host_batches = list(make_loader())[1:]
+    t0 = time.perf_counter()
+    put = [jax.device_put(b["clips"]) for b in host_batches]
+    jax.block_until_ready(put)
+    h2d_cps = sum(b["labels"].shape[0] for b in host_batches) \
+        / (time.perf_counter() - t0)
+    del put, host_batches
+
+    # device alone: same batch count, resident input, per-call dispatch
+    # like the e2e loop (perturb per call so the tunnel can't replay;
+    # uint8 inputs perturb in uint8 to keep one compiled program)
+    x = first["clips"]
+    salt = (lambda i: x + jnp.uint8(1 + i % 7)) if x.dtype == jnp.uint8 \
+        else (lambda i: x + 0.01 * i)
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(n_batches - 1):
+        outs.append(fwd(params, state, salt(i)))
+    for o in outs:
+        float(o)
+    dev_cps = (n_batches - 1) * B / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "mode": "pipeline",
+        "model": "istvt",
+        "batch": B,
+        "batches": n_batches - 1,
+        "platform": platform,
+        "native_decode": bool(native_used),
+        "ingest": "uint8+device_norm" if uint8 else "f32",
+        "h2d_mb_per_batch": round(
+            B * T * size * size * 3 * (1 if uint8 else 4) / 1e6, 1),
+        "num_workers": args.num_workers,
+        "host_decode_clips_per_sec": round(host_cps, 2),
+        "h2d_transfer_clips_per_sec": round(h2d_cps, 2),
+        "device_clips_per_sec": round(dev_cps, 2),
+        "e2e_clips_per_sec": round(e2e_cps, 2),
+        # 1.0 = perfect overlap (e2e time == slowest stage alone);
+        # 0.0 = fully serial (e2e time == sum of all three stages).
+        # h2d_cps already includes decode overlapped upstream, so the
+        # serial model is decode + transfer-given-decode + device.
+        "overlap_fraction": round(max(0.0, min(1.0, (
+            (1 / host_cps + 1 / h2d_cps + 1 / dev_cps) - 1 / e2e_cps
+        ) / (
+            (1 / host_cps + 1 / h2d_cps + 1 / dev_cps)
+            - max(1 / host_cps, 1 / h2d_cps, 1 / dev_cps)
+        ))), 3),
+    }))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from istvt_tpu.core.platform import honor_env
     honor_env()
+
+    if args.pipeline:
+        return run_pipeline(args)
 
     import jax
     import jax.numpy as jnp

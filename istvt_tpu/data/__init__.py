@@ -24,7 +24,12 @@ from istvt_tpu.data.video_dataset import (  # noqa: F401
     SyntheticVideoDataset,
     VideoSeqDataset,
 )
-from istvt_tpu.data.loader import ClipLoader, collate, device_feed  # noqa: F401
+from istvt_tpu.data.loader import (  # noqa: F401
+    ClipLoader,
+    collate,
+    device_feed,
+    device_normalize,
+)
 from istvt_tpu.data.video_frontend import (  # noqa: F401
     RawVideoDataset,
     decode_clip,

@@ -128,6 +128,19 @@ class ClipLoader:
                     break
 
 
+def device_normalize(x, mean=0.5, std=0.5, dtype=None):
+    """On-device ingest normalization for raw_uint8 clips: the exact
+    Xception (x/255 - mean)/std that transforms.normalize applies on
+    host (reference network/xception.py:12-14) — jittable, fuses into
+    the stem's first conv. Shipping uint8 and normalizing here cuts
+    host->device bytes 4x vs f32 clips (the serving-ingest bottleneck
+    through constrained links)."""
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    x = x.astype(dtype) / jnp.asarray(255.0, dtype)
+    return (x - jnp.asarray(mean, dtype)) / jnp.asarray(std, dtype)
+
+
 def device_feed(loader, mesh=None, pad_to_batch: Optional[int] = None):
     """Wrap a ClipLoader: device_put each batch sharded over the mesh's
     'data' axis (double-buffered — device transfer of batch N+1 overlaps

@@ -87,12 +87,24 @@ class Transform:
                  mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                  augment: bool = False,
                  shuffle_grid: Optional[int] = None,
-                 compress_range: Optional[Tuple[int, int]] = None):
+                 compress_range: Optional[Tuple[int, int]] = None,
+                 raw_uint8: bool = False):
+        """raw_uint8=True skips host-side normalization and returns the
+        resized uint8 frame: 4x fewer host->device bytes, with
+        `loader.device_normalize` applying the identical (x/255-mean)/std
+        on device. For transfer-bound serving ingest (measured: the
+        bench tunnel moves ~34 MB/s, so f32 clips cap e2e at ~9 clips/s
+        where uint8 lifts the transfer ceiling 4x). Brightness jitter
+        needs float frames, so raw_uint8 is for deterministic
+        (Test/serving) transforms."""
         self.size = size
         self.mean, self.std = mean, std
         self.augment = augment
         self.shuffle_grid = shuffle_grid
         self.compress_range = compress_range
+        self.raw_uint8 = raw_uint8
+        assert not (raw_uint8 and augment), \
+            "raw_uint8 is a serving-ingest mode; augmentation needs floats"
 
     def sample_params(self, rng: np.random.Generator) -> Dict:
         """Per-clip random decisions (shared by all frames of a clip)."""
@@ -118,6 +130,8 @@ class Transform:
         if self.shuffle_grid and "perm_rng" in params:
             img, perm = shuffle_patches(img, self.shuffle_grid,
                                         params["perm_rng"])
+        if self.raw_uint8:
+            return (img, perm) if perm is not None else img
         x = normalize(img, self.mean, self.std)
         if "brightness" in params:
             x = x * params["brightness"]

@@ -18,10 +18,13 @@ Activations are NHWC. Entry flow on 300x300: 300 ->conv1 s2 p0-> 149
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from istvt_tpu.core import precision as _precision
 
 from istvt_tpu.nn.layers import (
     batchnorm,
@@ -127,6 +130,26 @@ def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False,
         #    bias B), so the conv epilogue is just bias + f8 convert;
         #  * each unit's FOLLOWING pre-sepconv relu runs in the producing
         #    epilogue instead of as a read-modify-write pass.
+        # MEASURED NEGATIVE (r4, keep off): 1x1 convs as explicit GEMMs
+        # (reshape -> dot -> reshape) are 5x SLOWER than the conv form
+        # (112.5 vs 22.1 ms/batch32 stem, interleaved A/B) — collapsing
+        # (N,H,W) into the dot's M dimension forces physical relayouts
+        # of every 531 MB 147^2 tensor, dwarfing any epilogue-fusion win.
+        # XLA's conv lowering is already layout-optimal here; the
+        # hypothesis that its batch-minor conv1/conv2 layouts cost
+        # relayout passes was wrong (docs/KERNELS.md r4 entry).
+        pw_gemm = os.environ.get("ISTVT_STEM_PW_GEMM", "0") == "1"
+
+        def pointwise(f, v, stride_=1):
+            if not pw_gemm:
+                return conv2d(f, v, stride=stride_, padding=0)
+            if stride_ != 1:
+                v = v[:, ::stride_, ::stride_, :]
+            n, h, w, c = v.shape
+            z = jnp.dot(v.reshape(n * h * w, c), f["w"].reshape(c, -1),
+                        precision=_precision.get()) + f["b"]
+            return z.reshape(n, h, w, -1)
+
         reps = len(p["rep"])
         for i, unit in enumerate(p["rep"]):
             if i == 0 and start_with_relu:
@@ -138,7 +161,7 @@ def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False,
             pw_f = {"w": (unit["sep"]["pw"]["w"].astype(jnp.float32)
                           * a).astype(cd),
                     "b": bb.astype(cd)}
-            z = conv2d(pw_f, up(y), stride=1, padding=0)
+            z = pointwise(pw_f, up(y))
             if i + 1 < reps:
                 z = relu(z)   # the next unit's pre-relu, fused here
             y = cast(z)
@@ -151,7 +174,7 @@ def block_apply(p, s, x, spec, train: bool, use_pallas: bool = False,
             sk_f = {"w": (p["skip"]["w"].astype(jnp.float32)
                           * a).astype(cd),
                     "b": bb.astype(cd)}
-            skip = conv2d(sk_f, up(x), stride=stride, padding=0)
+            skip = pointwise(sk_f, up(x), stride_=stride)
             ns["skipbn"] = s["skipbn"]
         else:
             skip = up(x)

@@ -222,7 +222,11 @@ def aggregate(planes: List[XPlane], line_filter: Optional[str] = None,
             if line_filter and line_filter.lower() not in line.name.lower():
                 continue
             for ev in line.events:
-                lname = ev.name.lower()
+                # match async markers only against the op's OWN name (the
+                # text before ' = '): verbose HLO names embed operand
+                # names, so a compute fusion consuming %copy-done.N would
+                # otherwise be flagged async (r4 bug)
+                lname = ev.name.split(" = ", 1)[0].lower()
                 is_async = any(m in lname for m in ASYNC_MARKERS)
                 key = (hlo_prefix(ev.name), is_async)
                 cell = acc.setdefault(key, [0, 0.0])

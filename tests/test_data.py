@@ -214,3 +214,42 @@ def test_loader_multihost_batch_shapes():
                         host_count=2, host_index=1, num_workers=2)
     batch = next(iter(loader))
     assert batch["clips"].shape[0] == 4   # local slice of the global 8
+
+
+def test_raw_uint8_ingest_matches_f32_after_device_normalize(tmp_path):
+    """raw_uint8 Transform + device_normalize must reproduce the host
+    f32 normalize path exactly (serving ingest ships 4x fewer bytes)."""
+    import jax.numpy as jnp
+
+    from istvt_tpu.data import VideoSeqDataset, device_normalize
+    from istvt_tpu.data.transforms import Transform
+
+    root = str(tmp_path)
+    _make_ffpp_tree(root, quality=("hq",), videos=1, frames=4, size=40)
+    kw = dict(root=root, quality="hq", size=32, mode="Test", seq_len=2)
+    ds_f32 = VideoSeqDataset(transform=Transform(32), **kw)
+    ds_u8 = VideoSeqDataset(transform=Transform(32, raw_uint8=True), **kw)
+
+    a = ds_f32[0]["clips"]
+    b = ds_u8[0]["clips"]
+    assert b.dtype == np.uint8 and a.dtype == np.float32
+    got = np.asarray(device_normalize(jnp.asarray(b)))
+    np.testing.assert_allclose(got, a, atol=1e-6)
+
+
+def test_static_patch_ground_truth_location():
+    """static_patch fakes expose patch_yx and the artifact actually sits
+    there (and only there, modulo the global-motion roll)."""
+    from istvt_tpu.data import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(num_clips=4, seq_len=3, size=64, seed=0,
+                               static_patch=True, patch_size=16)
+    real, fake = ds[0], ds[1]
+    assert tuple(real["patch_yx"]) == (-1, -1)
+    y, x = fake["patch_yx"]
+    assert 0 <= y <= 48 and 0 <= x <= 48
+    d = np.abs(fake["clips"][2]
+               - np.roll(fake["clips"][1], 1, axis=1)).sum(axis=-1) > 0
+    ys, xs = np.where(d)
+    assert y <= ys.min() and ys.max() < y + 16
+    assert x <= xs.min() and xs.max() <= x + 16 + 1   # +1: rolled overlap
