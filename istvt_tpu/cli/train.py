@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient-accumulation microbatches per optimizer "
                         "step (shrinks backward activation memory ~k; "
                         "must divide batch_size)")
+    p.add_argument("--recal_bn", type=int, default=0, metavar="N",
+                   help="after training, recalibrate BatchNorm running "
+                        "stats over N train batches (fixes eval-mode "
+                        "collapse after SHORT runs: running stats keep an "
+                        "O(0.9^steps) residual of their init)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward vs f32 master params")
     p.add_argument("--remat", action="store_true",
@@ -174,7 +179,8 @@ def main(argv=None):
                       use_reference_schedule=args.reference_schedule,
                       step_hook=step_hook,
                       microbatches=args.microbatches,
-                      grad_accum=args.grad_accum)
+                      grad_accum=args.grad_accum,
+                      recal_bn_batches=args.recal_bn)
 
     ts = trainer.init_state()
     if args.continue_train or args.test_mode:

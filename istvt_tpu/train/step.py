@@ -157,15 +157,45 @@ def recalibrate_bn(model, params, model_state, batches, rng=None):
     collapse eval-mode logits while train-mode separates perfectly (the
     reference never hits this because it trains for epochs over real
     datasets, train_CNN.py:209; short-horizon users and the e2e
-    capability test do). One train-mode pass per batch; each BN's exact
-    batch stats are recovered by inverting the momentum update
-    (batch = (new - (1-m)*old) / m), then averaged across batches."""
+    capability test do).
+
+    Mechanism: in train mode the forward never READS the running stats,
+    so per state leaf one apply is affine in the old value,
+    new = c*old + d (c = (1-m)^k for a BN slot updated k times — Meso4
+    reuses bn1/bn2 at TWO call sites, reference mesonet.py:44, so k=2
+    there). Two probe passes (old=0 gives d, old=1 gives c+d) recover
+    the map, and the installed value is its fixed point d/(1-c) — what
+    infinite training on this batch would converge to (== the exact
+    batch stats when k=1). Leaves an apply never touches (c=1) keep
+    their original value. Results are averaged across `batches`.
+
+    Leave rng=None for calibration-clean statistics: dropout layers
+    no-op on a None key, so the pass is train-mode for BN only."""
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, model_state)
+    ones = jax.tree_util.tree_map(jnp.ones_like, model_state)
+
+    @jax.jit
+    def _probe(params, st0, st1, x):
+        # jitted: ONE partitioned program instead of hundreds of eager
+        # dispatches (eager multi-device ops rendezvous per op and crawl
+        # on a >1-device mesh)
+        _, n0 = model.apply(params, st0, x, train=True, rng=rng)
+        _, n1 = model.apply(params, st1, x, train=True, rng=rng)
+        return n0, n1
+
     stats = []
     for b in batches:
         x = b.get("clips", b.get("images"))
-        _, ns = model.apply(params, model_state, x, train=True, rng=rng)
-        stats.append(jax.tree_util.tree_map(
-            lambda old, new: (new - 0.9 * old) / 0.1, model_state, ns))
+        n0, n1 = _probe(params, zeros, ones, x)
+
+        def fixpoint(d, cd, orig):
+            # c = (1-m)^k is in (0, 1] so 1-c >= 0.1 for any updated
+            # leaf and == 0 for untouched ones (keep those as-is)
+            one_minus_c = 1.0 - (cd - d)
+            return jnp.where(one_minus_c > 1e-3,
+                             d / jnp.maximum(one_minus_c, 1e-3), orig)
+
+        stats.append(jax.tree_util.tree_map(fixpoint, n0, n1, model_state))
     n = float(len(stats))
     return jax.tree_util.tree_map(lambda *vs: sum(vs) / n, *stats)
 

@@ -142,7 +142,15 @@ class Trainer:
                  log_fn: Callable[[str], None] = print,
                  step_hook: Optional[Callable[[int, Dict], None]] = None,
                  microbatches: Optional[int] = None,
-                 grad_accum: int = 1):
+                 grad_accum: int = 1,
+                 recal_bn_batches: int = 0):
+        # recal_bn_batches > 0: after the final epoch, replace BN running
+        # stats with exact activation statistics over that many train
+        # batches (S.recalibrate_bn). Short runs leave an O(0.9^steps)
+        # residual of the init stats that collapses eval-mode logits —
+        # the reference never hits this (epochs over real data) but
+        # short-horizon / fine-tune users do.
+        self.recal_bn_batches = recal_bn_batches
         self.model = model
         self.tc = tc
         self.dc = dc
@@ -280,6 +288,27 @@ class Trainer:
                     self.best_metric = metric
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
+        if self.recal_bn_batches > 0:
+            batches = []
+            train_loader.set_epoch(self.tc.num_epochs)  # fresh order
+            for batch in device_feed(train_loader, self.mesh):
+                batches.append(batch)
+                if len(batches) >= self.recal_bn_batches:
+                    break
+            # rng=None: dropout layers no-op on a None key, so the
+            # calibration statistics are clean (train-mode BN, eval-mode
+            # everything else — the standard BN-recalibration recipe)
+            ts = S.TrainState(
+                params=ts.params,
+                model_state=S.recalibrate_bn(self.model, ts.params,
+                                             ts.model_state, batches),
+                opt_state=ts.opt_state, step=ts.step)
+            self.log(f"recalibrated BN stats over {len(batches)} batches")
+            if self.ckpt:
+                # step+1: orbax refuses to overwrite the final epoch's
+                # already-saved step; the +1 marks the calibration pass
+                self.ckpt.save(int(ts.step) + 1, jax.device_get(ts),
+                               metric=self.best_metric, wait=True)
         if self.ckpt:
             self.ckpt.wait()  # commit the last async epoch save
         return ts

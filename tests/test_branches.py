@@ -265,3 +265,49 @@ def test_ensemble_model_evals_end_to_end():
     ev = evaluate(model, params, mstate, loader)
     assert ev["n"] == 4
     assert 0.0 <= ev["accuracy"] <= 1.0 and 0.0 <= ev["auc"] <= 1.0
+
+
+def test_trainer_recal_bn_post_pass():
+    """recal_bn_batches wires S.recalibrate_bn into Trainer.fit: the
+    returned state's BN stats are the EXACT batch statistics of the
+    recal batches (not the momentum-lagged running values)."""
+    from istvt_tpu.core.config import DataConfig, TrainConfig
+    from istvt_tpu.data.loader import ClipLoader
+    from istvt_tpu.data.video_dataset import ClipDataset
+    from istvt_tpu.models.registry import model_selection
+    from istvt_tpu.train import step as S
+    from istvt_tpu.train.trainer import Trainer
+
+    class _Imgs(ClipDataset):
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {"images": r.normal(0, 0.5, (256, 256, 3))
+                    .astype(np.float32),
+                    "labels": np.int32(i % 2)}
+
+    model = model_selection("mesonet", num_out_classes=1)
+    logs = []
+    trainer = Trainer(
+        model,
+        TrainConfig(model_name="meso4", num_epochs=1, base_lr=1e-3,
+                    checkpoint_dir=""),
+        DataConfig(dataset="synthetic"),
+        steps_per_epoch=1, log_fn=logs.append, recal_bn_batches=1)
+    loader = ClipLoader(_Imgs(), batch_size=8, shuffle=False, num_workers=1)
+    ts = trainer.fit(loader, val_loader=None)
+    assert any("recalibrated BN" in s for s in logs), logs
+
+    loader.set_epoch(1)
+    batch = next(iter(loader))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    want = S.recalibrate_bn(model, ts.params,
+                            jax.tree_util.tree_map(jnp.zeros_like,
+                                                   ts.model_state),
+                            [batch])
+    for a, b in zip(jax.tree_util.tree_leaves(ts.model_state),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

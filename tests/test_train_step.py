@@ -416,3 +416,29 @@ def test_grad_accum_on_data_mesh():
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
     gn = float(m1["grad_norm"])
     assert abs(gn - float(m2["grad_norm"])) < 1e-3 * max(gn, 1.0)
+
+
+def test_recalibrate_bn_installs_exact_batch_stats():
+    """recalibrate_bn must replace BN running stats with the EXACT batch
+    statistics of the given batches under the current params — verified
+    directly against hand-computed activation stats for the first BN
+    (conv1's output), single-batch case."""
+    model = model_selection("istvt", num_out_classes=1, cfg=TINY)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    batch = _batch(4)
+
+    recal = train_step.recalibrate_bn(model, params, mstate, [batch])
+
+    from istvt_tpu.nn.layers import conv2d
+    x = batch["clips"].reshape(-1, TINY.image_size, TINY.image_size, 3)
+    y = conv2d(params["xcep"]["conv1"], x, stride=2, padding=0)
+    mean = jnp.mean(y, axis=(0, 1, 2))
+    n = y.size // y.shape[-1]
+    var = jnp.var(y, axis=(0, 1, 2)) * (n / (n - 1))
+    np.testing.assert_allclose(np.asarray(recal["xcep"]["bn1"]["mean"]),
+                               np.asarray(mean), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(recal["xcep"]["bn1"]["var"]),
+                               np.asarray(var), rtol=1e-4, atol=1e-5)
+    # structure preserved (checkpoint/pjit stability contract)
+    assert jax.tree_util.tree_structure(recal) == \
+        jax.tree_util.tree_structure(mstate)
