@@ -140,26 +140,27 @@ def _child_throughput(batch: int, iters: int) -> None:
 # parent: schedule legs under the budget, always print one line
 # --------------------------------------------------------------------------
 
-def _run_leg(args: list[str], timeout_s: float) -> dict | None:
-    """Run one child leg; return its parsed JSON dict or None."""
+def _run_leg(args: list[str], timeout_s: float) -> tuple[dict | None, str]:
+    """Run one child leg; returns (parsed JSON dict or None, reason)."""
     if timeout_s < 30:
-        return None
+        return None, "no_budget"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *args],
             capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
     except subprocess.TimeoutExpired:
-        return None
+        return None, f"timeout_{int(timeout_s)}s"
     if proc.returncode != 0:
-        return None
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-1:]
+        return None, f"rc{proc.returncode}:{tail[0][:120] if tail else ''}"
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                return json.loads(line), "ok"
             except json.JSONDecodeError:
                 continue
-    return None
+    return None, "no_json"
 
 
 def main() -> None:
@@ -209,27 +210,35 @@ def main() -> None:
     else:
         plan = [(1, 2)]
 
-    def try_leg(batch, n_iters):
+    def try_leg(batch, n_iters, cap=None):
         nonlocal best
-        cap = remaining() - 15
-        r = _run_leg(["--leg", str(batch), str(n_iters)], cap)
-        if r is None:
-            legs[f"b{batch}"] = "timeout_or_error"
-            return
-        legs[f"b{batch}"] = "ok"
-        if best is None or r["clips_per_sec"] > best["clips_per_sec"]:
+        cap = (remaining() - 15) if cap is None else min(cap,
+                                                         remaining() - 15)
+        r, why = _run_leg(["--leg", str(batch), str(n_iters)], cap)
+        key = f"b{batch}"
+        legs[key] = why if key not in legs else legs[key] + ";" + why
+        if r is not None and (best is None
+                              or r["clips_per_sec"] > best["clips_per_sec"]):
             best = r
+        return r is not None
 
-    try_leg(*plan[0])
+    # anchor leg capped at 300 s (healthy runs take ~200-260 s incl.
+    # compile) so a fast crash leaves budget for ONE retry — a transient
+    # tunnel stall ate the whole budget in an r4 shakeout run
+    if not try_leg(*plan[0], cap=300) and remaining() > 140:
+        try_leg(*plan[0])
 
     # latency enrichment BEFORE any extra throughput legs — a timed-out
     # b32 attempt must not starve it (that happened in the r4 shakeout).
     lat = None
     if (best is not None and best.get("batch", 1) > 1
             and os.environ.get("BENCH_LATENCY", "1") == "1"
-            and remaining() > 180):
-        lat = _run_leg(["--leg", "1", "4"], remaining() - 15)
-        legs["b1_latency"] = "ok" if lat is not None else "timeout_or_error"
+            and remaining() > 140):
+        # capped: a healthy bs=1 leg takes ~90-135 s; a stalled one must
+        # not stretch the total wall clock the driver sees
+        lat, why = _run_leg(["--leg", "1", "4"],
+                            min(remaining() - 15, 170))
+        legs["b1_latency"] = why
 
     for batch, n_iters in plan[1:]:
         try_leg(batch, n_iters)
