@@ -46,7 +46,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # child: one measurement leg, prints one JSON line, exits
 # --------------------------------------------------------------------------
 
-def _child_throughput(batch: int, iters: int) -> None:
+def _child_throughput(batch: int, iters: int,
+                      measure_latency: bool = False) -> None:
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -118,10 +119,13 @@ def _child_throughput(batch: int, iters: int) -> None:
                  str(dtype.__name__ if hasattr(dtype, "__name__")
                      else dtype),
     }
-    if batch == 1:
+    if measure_latency and batch == 1:
         # true single-clip p50 latency (includes the tunnel round trip,
         # what a caller sees); device_ms = chained forwards in one call
-        # so the fixed per-call cost is paid once.
+        # so the fixed per-call cost is paid once. Explicitly flagged:
+        # when bs=1 is the THROUGHPUT anchor (CPU plan / BENCH_BATCH=1)
+        # these ~21 extra forwards would burn the anchor's budget and
+        # the parent drops the fields anyway.
         lat = []
         for i in range(5):
             t0 = time.perf_counter()
@@ -168,7 +172,8 @@ def main() -> None:
         i = sys.argv.index("--leg")
         batch = int(sys.argv[i + 1])
         iters = int(sys.argv[i + 2])
-        _child_throughput(batch, iters)
+        _child_throughput(batch, iters,
+                          measure_latency="--lat" in sys.argv)
         return
 
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
@@ -181,24 +186,31 @@ def main() -> None:
     best: dict | None = None
 
     # platform probe in a child (importing jax in the parent would let a
-    # hung tunnel handshake take the whole bench down).
-    on_tpu = False
+    # hung tunnel handshake take the whole bench down). A FAILED probe
+    # (timeout/crash) is treated as TPU: on the driver's real chip a
+    # transient tunnel stall must not silently downgrade the official
+    # number to the bs=1 CPU plan (~40 clips/s with an 'ok' marker) —
+    # the B=16 anchor self-times-out safely if the stall persists.
+    probe_status = "failed"
     try:
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True,
             timeout=min(120.0, max(30.0, remaining() / 4)), cwd=REPO)
-        on_tpu = probe.stdout.strip().splitlines()[-1:] == ["tpu"]
+        if probe.returncode == 0 and probe.stdout.strip():
+            probe_status = probe.stdout.strip().splitlines()[-1]
     except (subprocess.TimeoutExpired, OSError):
         pass
+    if probe_status != "tpu":
+        legs["probe"] = probe_status
 
     batch_env = os.environ.get("BENCH_BATCH")
     iters = int(os.environ.get("BENCH_ITERS", "32"))
 
     if batch_env is not None:
         plan = [(int(batch_env), iters)]
-    elif on_tpu:
+    elif probe_status in ("tpu", "failed"):
         # B=16 int8 is the safety anchor AND the measured best (315.4
         # clips/s driver-style capture, r4): B=32 measured no faster
         # after the r3 kernel work and its compile is the known
@@ -236,7 +248,7 @@ def main() -> None:
             and remaining() > 140):
         # capped: a healthy bs=1 leg takes ~90-135 s; a stalled one must
         # not stretch the total wall clock the driver sees
-        lat, why = _run_leg(["--leg", "1", "4"],
+        lat, why = _run_leg(["--leg", "1", "4", "--lat"],
                             min(remaining() - 15, 170))
         legs["b1_latency"] = why
 

@@ -36,7 +36,13 @@ def build_parser():
                         " one is generated under /tmp when omitted)")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--no_native", action="store_true",
-                   help="--pipeline: force the PIL decode path")
+                   help="--pipeline: force the PIL decode path. NOTE the"
+                        " default uint8 ingest already decodes via PIL —"
+                        " the native C++ decoder only has a"
+                        " normalized-f32 output, so this flag matters"
+                        " only with --f32_ingest. (Measured: PIL-uint8"
+                        " decode is FASTER than native-f32 anyway — it"
+                        " skips the normalize and moves 4x fewer bytes.)")
     p.add_argument("--f32_ingest", action="store_true",
                    help="--pipeline: ship normalized f32 clips instead of"
                         " the default uint8-with-device-normalize ingest"
@@ -116,14 +122,18 @@ def run_pipeline(args):
         return ClipLoader(ds, batch_size=B, shuffle=True, drop_last=True,
                           num_workers=args.num_workers, prefetch=2)
 
-    # ---- host side alone: decode+collate rate (steady-state: skip batch 0)
+    # ---- host side alone: decode+collate rate (steady-state: skip batch
+    # 0); batches are kept for the h2d leg below so the dataset is not
+    # decoded a third time (~26 MB/batch resident at the default iters)
     lo = make_loader()
     it = iter(lo)
     next(it)
     t0 = time.perf_counter()
     n = 0
+    host_batches = []
     for b in it:
         n += b["labels"].shape[0]
+        host_batches.append(b)
     host_cps = n / (time.perf_counter() - t0)
 
     # ---- device side alone + end-to-end
@@ -166,21 +176,30 @@ def run_pipeline(args):
 
     # transfer alone: device_put of PRE-DECODED host batches — isolates
     # the H2D link (through the bench tunnel this is the binding seam;
-    # on a co-located host PCIe/DMA makes it negligible)
-    host_batches = list(make_loader())[1:]
+    # on a co-located host PCIe/DMA makes it negligible). Each payload
+    # is perturbed per-batch so no request is byte-identical to one the
+    # e2e loop already sent (the tunnel replay-caches identical bodies).
+    def _perturb(c, j):
+        if c.dtype == np.uint8:
+            return c + np.uint8(1 + j % 251)   # wraps; bytes differ
+        return c + np.float32(1e-3 * (j + 1))
+    puts = [_perturb(b["clips"], j) for j, b in enumerate(host_batches)]
     t0 = time.perf_counter()
-    put = [jax.device_put(b["clips"]) for b in host_batches]
+    put = [jax.device_put(c) for c in puts]
     jax.block_until_ready(put)
     h2d_cps = sum(b["labels"].shape[0] for b in host_batches) \
         / (time.perf_counter() - t0)
-    del put, host_batches
+    del put, puts, host_batches
 
     # device alone: same batch count, resident input, per-call dispatch
     # like the e2e loop (perturb per call so the tunnel can't replay;
-    # uint8 inputs perturb in uint8 to keep one compiled program)
+    # uint8 inputs perturb in uint8 to keep one compiled program — the
+    # modulus must exceed any realistic iters so the cycle never repeats
+    # a byte-identical request, and i+1 so call 0 differs from the
+    # warmup fwd on the same array)
     x = first["clips"]
-    salt = (lambda i: x + jnp.uint8(1 + i % 7)) if x.dtype == jnp.uint8 \
-        else (lambda i: x + 0.01 * i)
+    salt = (lambda i: x + jnp.uint8(1 + i % 251)) if x.dtype == jnp.uint8 \
+        else (lambda i: x + 0.01 * (i + 1))
     outs = []
     t0 = time.perf_counter()
     for i in range(n_batches - 1):

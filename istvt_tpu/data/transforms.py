@@ -96,7 +96,11 @@ class Transform:
         bench tunnel moves ~34 MB/s, so f32 clips cap e2e at ~9 clips/s
         where uint8 lifts the transfer ceiling 4x). Brightness jitter
         needs float frames, so raw_uint8 is for deterministic
-        (Test/serving) transforms."""
+        (Test/serving) transforms. Note: this mode decodes via PIL —
+        the native C++ fast path only emits normalized f32
+        (VideoSeqDataset._native_fast_path skips it); measured, the
+        PIL-uint8 path is still faster end to end (no normalize pass,
+        4x smaller collate/transfer payloads)."""
         self.size = size
         self.mean, self.std = mean, std
         self.augment = augment

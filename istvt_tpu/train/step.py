@@ -148,9 +148,16 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def recalibrate_bn(model, params, model_state, batches, rng=None):
+def recalibrate_bn(model, params, model_state, batches, rng=None,
+                   mesh=None, microbatches=None):
     """Replace BatchNorm running statistics with the ACTUAL activation
     statistics under the current params (averaged over `batches`).
+
+    Pass mesh= when params/batches live on a model- or pipe-parallel
+    mesh — like every step builder, the probe traces inside
+    tp.scope/pp.scope so the Pallas kernels dispatch to their shard_map'd
+    forms (plain jit on TP-sharded params cannot partition a
+    pallas_call).
 
     Running stats converge at momentum 0.1 per step, so short runs keep
     an O(0.9^steps) residual of the init stats (var=1) — enough to
@@ -171,6 +178,8 @@ def recalibrate_bn(model, params, model_state, batches, rng=None):
 
     Leave rng=None for calibration-clean statistics: dropout layers
     no-op on a None key, so the pass is train-mode for BN only."""
+    from istvt_tpu.parallel import pp, tp
+
     zeros = jax.tree_util.tree_map(jnp.zeros_like, model_state)
     ones = jax.tree_util.tree_map(jnp.ones_like, model_state)
 
@@ -179,8 +188,9 @@ def recalibrate_bn(model, params, model_state, batches, rng=None):
         # jitted: ONE partitioned program instead of hundreds of eager
         # dispatches (eager multi-device ops rendezvous per op and crawl
         # on a >1-device mesh)
-        _, n0 = model.apply(params, st0, x, train=True, rng=rng)
-        _, n1 = model.apply(params, st1, x, train=True, rng=rng)
+        with tp.scope(mesh), pp.scope(mesh, microbatches):
+            _, n0 = model.apply(params, st0, x, train=True, rng=rng)
+            _, n1 = model.apply(params, st1, x, train=True, rng=rng)
         return n0, n1
 
     stats = []

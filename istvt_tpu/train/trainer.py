@@ -301,7 +301,8 @@ class Trainer:
             ts = S.TrainState(
                 params=ts.params,
                 model_state=S.recalibrate_bn(self.model, ts.params,
-                                             ts.model_state, batches),
+                                             ts.model_state, batches,
+                                             mesh=self.mesh),
                 opt_state=ts.opt_state, step=ts.step)
             self.log(f"recalibrated BN stats over {len(batches)} batches")
             if self.ckpt:

@@ -442,3 +442,32 @@ def test_recalibrate_bn_installs_exact_batch_stats():
     # structure preserved (checkpoint/pjit stability contract)
     assert jax.tree_util.tree_structure(recal) == \
         jax.tree_util.tree_structure(mstate)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_recalibrate_bn_under_tp_mesh():
+    """recalibrate_bn(mesh=...) must survive TP-sharded params with the
+    Pallas kernels active (the probe traces inside tp.scope like every
+    step builder) and agree with the single-device recalibration."""
+    cfg = ISTVTConfig(num_frames=2, image_size=72, feat_hw=5, depth=1,
+                      num_classes=1, use_pallas=True)
+    model = model_selection("istvt", num_out_classes=1, cfg=cfg)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    batch = {
+        "clips": jnp.asarray(rng.randn(8, 2, 72, 72, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 2, size=8)),
+    }
+
+    ref = train_step.recalibrate_bn(model, params, mstate, [batch])
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = shd.place(params, shd.param_shardings(params, mesh))
+    s_sh = shd.place(mstate, shd.replicated_shardings(mstate, mesh))
+    b_sh = shd.place(batch, shd.batch_shardings(batch, mesh))
+    got = train_step.recalibrate_bn(model, p_sh, s_sh, [b_sh], mesh=mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
