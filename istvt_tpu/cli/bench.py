@@ -18,9 +18,24 @@ def build_parser():
     p.add_argument("--batch_size", "-bs", type=int, default=1)
     p.add_argument("--input_size", "-is", type=int, default=300)
     p.add_argument("--seq_len", "-sl", type=int, default=6)
+    p.add_argument("--depth", type=int, default=12,
+                   help="ST-layer count for the istvt-family configs"
+                        " (paper model: 12; 1-2 for quick drives)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="istvt forward only: measure the int8 W8A8 serving"
+                        " path (kernels/quant.py) instead of float — the"
+                        " same path root bench.py reports. TPU only.")
+    p.add_argument("--chained", action="store_true",
+                   help="forward only: chain all iters in ONE device"
+                        " program (lax.fori_loop over perturbed inputs,"
+                        " scalar fetch at the end) so the ~33 ms per-call"
+                        " tunnel/dispatch fixed cost is paid once —"
+                        " throughput numbers comparable to root bench.py."
+                        " Default per-call timing reports what a caller"
+                        " sees (reference test_time.py semantics).")
     p.add_argument("--train_step", action="store_true",
                    help="bench the full train step instead of forward")
     p.add_argument("--grad_accum", type=int, default=1,
@@ -257,17 +272,28 @@ def main(argv=None):
 
     feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
         args.input_size, max(args.input_size // 16, 2))
+    quant = args.quantize == "int8"
+    if quant and (args.model_name not in ("istvt", "resnet_3d")
+                  or args.train_step or platform != "tpu"):
+        raise SystemExit("--quantize int8 measures the istvt serving "
+                         "forward and requires a TPU (the q8 kernels "
+                         "never engage elsewhere)")
     kw = {}
     if args.model_name in ("istvt", "resnet_3d", "vivit", "vanilla_tr"):
         kw["cfg"] = ISTVTConfig(num_frames=args.seq_len,
                                 image_size=args.input_size,
                                 feat_hw=feat_hw,
+                                depth=args.depth,
                                 use_pallas=platform == "tpu",
+                                quantize="int8" if quant else "none",
                                 remat=args.remat)
     model = model_selection(args.model_name, num_out_classes=1, **kw)
     params, state = model.init(jax.random.PRNGKey(0))
     if platform == "tpu":
         params = tree_util.cast(params, jnp.bfloat16)
+    if quant:
+        from istvt_tpu.models import istvt as istvt_mod
+        params = istvt_mod.quantize_params(params)
 
     shape = (args.batch_size, args.seq_len, args.input_size,
              args.input_size, 3) if is_clip else \
@@ -317,6 +343,35 @@ def main(argv=None):
             "remat": args.remat,
             # MEAN over chained steps (per-step medians are unmeasurable
             # without paying the remote-tunnel fetch per step)
+            "mean_ms": round(mean * 1000, 2),
+            "items_per_sec": round(args.batch_size / mean, 2),
+            "platform": platform,
+        }))
+        return
+    elif args.chained:
+        # root-bench.py semantics: all iters in one device program over
+        # perturbed inputs, one scalar fetch data-depending on every
+        # iteration — the per-call fixed cost (tunnel RTT + dispatch,
+        # ~33 ms here) is paid once, so this is device throughput.
+        @jax.jit
+        def fwd_n(p, s, v, n):
+            def body(i, acc):
+                vi = v + 0.01 * (i + 1).astype(v.dtype)
+                out = model.apply(p, s, vi, train=False)[0]
+                return acc + jnp.sum(out.astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        x = x + jnp.asarray((time.time() % 997) / 1e4, dtype)
+        float(fwd_n(params, state, x, 1))  # compile + warmup
+        t0 = time.perf_counter()
+        float(fwd_n(params, state, x, args.iters))
+        mean = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "model": args.model_name,
+            "mode": "forward_chained",
+            "batch": args.batch_size,
+            "input_size": args.input_size,
+            "quantize": args.quantize,
             "mean_ms": round(mean * 1000, 2),
             "items_per_sec": round(args.batch_size / mean, 2),
             "platform": platform,
