@@ -75,6 +75,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save ensemble attention maps (s_attns metrics "
                         "keys) as .npy every N iterations, reference "
                         "train_CNN.py:396-401 (0 = off)")
+    p.add_argument("--distill_from", default=None, metavar="CKPT_DIR",
+                   help="knowledge distillation (train/distill.py): orbax"
+                        " checkpoint dir of a TEACHER (same model_name;"
+                        " its depth via --teacher_depth). Teacher logits"
+                        " are injected per batch and the loss becomes"
+                        " losses.distillation_bce — train a shallower"
+                        " --depth student that serves proportionally"
+                        " faster (docs/SERVING.md levers)")
+    p.add_argument("--teacher_depth", type=int, default=12,
+                   help="--distill_from: the teacher's ST-layer count")
+    p.add_argument("--teacher_optimizer", choices=["adamw", "sgd"],
+                   default="adamw",
+                   help="--distill_from: optimizer the teacher ckpt was"
+                        " trained with (restore-template shape only)")
+    p.add_argument("--distill_alpha", type=float, default=0.5,
+                   help="hard-label loss weight (1-alpha on the soft"
+                        " teacher term); 0 = learn from the teacher only")
+    p.add_argument("--distill_T", type=float, default=2.0,
+                   help="distillation temperature")
     return p
 
 
@@ -174,7 +193,37 @@ def main(argv=None):
         from istvt_tpu.train.attn_dump import AttnDumper
         step_hook = AttnDumper(args.checkpoint_dir or ".",
                                every=args.dump_attns_every)
-    trainer = Trainer(model, tc, dc, mesh=mesh,
+    loss_fn, batch_hook = None, None
+    if args.distill_from:
+        import dataclasses as _dc
+
+        import jax as _jax
+
+        from istvt_tpu.core.checkpoint import CheckpointManager
+        from istvt_tpu.train import distill as D
+        from istvt_tpu.train import losses as L
+        from istvt_tpu.train import step as S
+        from istvt_tpu.train.schedule import cosine_schedule
+        tcfg = _dc.replace(cfg, depth=args.teacher_depth, dropout=0.0)
+        teacher = model_selection(args.model_name, num_out_classes=1,
+                                  dropout=0.0, cfg=tcfg)
+        topt = S.make_optimizer(
+            TrainConfig(optimizer=args.teacher_optimizer),
+            cosine_schedule(1e-4, 1))
+        tmpl = S.create_train_state(teacher, _jax.random.PRNGKey(0), topt)
+        restored = CheckpointManager(args.distill_from).restore(
+            template=tmpl)
+        if restored is None:
+            raise SystemExit(f"--distill_from: no checkpoint under "
+                             f"{args.distill_from}")
+        batch_hook = D.augment_with_teacher(D.make_teacher_fn(
+            teacher, restored.params, restored.model_state))
+        loss_fn = L.make_distill_loss(args.distill_alpha, args.distill_T)
+        print(f"distilling from {args.distill_from} "
+              f"(teacher depth {args.teacher_depth}, "
+              f"alpha={args.distill_alpha}, T={args.distill_T})")
+    trainer = Trainer(model, tc, dc, mesh=mesh, loss_fn=loss_fn,
+                      batch_hook=batch_hook,
                       steps_per_epoch=steps_per_epoch,
                       use_reference_schedule=args.reference_schedule,
                       step_hook=step_hook,

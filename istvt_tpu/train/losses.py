@@ -34,6 +34,42 @@ def bce_with_logits(logits, labels):
     return jnp.mean(per)
 
 
+def distillation_bce(logits, teacher_logits, labels, alpha: float = 0.5,
+                     temperature: float = 2.0):
+    """Hinton knowledge distillation adapted to the single-logit BCE head.
+
+        loss = alpha * BCE(logits, labels)
+             + (1 - alpha) * T^2 * BCE(logits / T, sigmoid(teacher / T))
+
+    The soft term is the binary cross-entropy of the temperature-scaled
+    student logit against the teacher's temperature-softened probability.
+    Its per-sample gradient w.r.t. the student logit is
+    T * (sigmoid(z/T) - sigmoid(t/T)) after the T^2 factor — zero exactly
+    when the student matches the teacher, and O(1) in T (Hinton et al.
+    2015 scaling). No reference analog: distillation is one of the
+    architectural serving levers named in docs/KERNELS.md (a shallower
+    student serves proportionally faster; docs/SERVING.md).
+    """
+    z = logits.reshape(-1).astype(jnp.float32)
+    t = teacher_logits.reshape(-1).astype(jnp.float32)
+    T = float(temperature)
+    soft_target = jax.nn.sigmoid(t / T)
+    zs = z / T
+    soft = jnp.mean(jnp.maximum(zs, 0) - zs * soft_target
+                    + jnp.log1p(jnp.exp(-jnp.abs(zs))))
+    return alpha * bce_with_logits(z, labels) \
+        + (1.0 - alpha) * (T * T) * soft
+
+
+def make_distill_loss(alpha: float = 0.5, temperature: float = 2.0):
+    """loss_fn for make_train_step: reads batch['teacher_logits'] (see
+    train/distill.py for how those get injected)."""
+    def loss_fn(logits, batch):
+        return distillation_bce(logits, batch["teacher_logits"],
+                                batch["labels"], alpha, temperature)
+    return loss_fn
+
+
 def softmax_cross_entropy(logits, labels):
     """nn.CrossEntropyLoss (mean) over integer labels."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -143,7 +143,8 @@ class Trainer:
                  step_hook: Optional[Callable[[int, Dict], None]] = None,
                  microbatches: Optional[int] = None,
                  grad_accum: int = 1,
-                 recal_bn_batches: int = 0):
+                 recal_bn_batches: int = 0,
+                 batch_hook: Optional[Callable[[Dict], Dict]] = None):
         # recal_bn_batches > 0: after the final epoch, replace BN running
         # stats with exact activation statistics over that many train
         # batches (S.recalibrate_bn). Short runs leave an O(0.9^steps)
@@ -159,6 +160,9 @@ class Trainer:
         # per-iteration observer of (step, metrics) — e.g. the attention
         # .npy dumper (train/attn_dump.py, reference train_CNN.py:396-401)
         self.step_hook = step_hook
+        # per-batch transform applied after device_feed, before the step —
+        # e.g. train/distill.augment_with_teacher injecting teacher logits
+        self.batch_hook = batch_hook
         if tc.debug_nans:
             # jax-native NaN trap (SURVEY.md §5.2): every jitted program
             # re-runs un-jitted on NaN and raises at the producing op
@@ -248,6 +252,8 @@ class Trainer:
             t0 = time.time()
             run_loss, run_acc, seen = M.Welford(), M.Welford(), 0
             for batch in device_feed(train_loader, self.mesh):
+                if self.batch_hook is not None:
+                    batch = self.batch_hook(batch)
                 rng, srng = jax.random.split(rng)
                 ts, m = self.step_fn(ts, batch, srng)
                 state_box["ts"] = ts

@@ -33,13 +33,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from istvt_tpu.core.config import ISTVTConfig, TrainConfig
+from istvt_tpu.core.config import ISTVTConfig
 from istvt_tpu.data import SyntheticVideoDataset
 from istvt_tpu.models import istvt
 from istvt_tpu.models.registry import model_selection
 from istvt_tpu.train import step as S
 from istvt_tpu.train.metrics import auc
-from istvt_tpu.train.schedule import cosine_schedule
 
 T, SZ, PS = 3, 72, 24
 CFG = ISTVTConfig(num_frames=T, image_size=SZ, feat_hw=5, depth=2)
@@ -52,28 +51,12 @@ def _batch_of(ds, idx):
 
 
 @pytest.fixture(scope="module")
-def trained():
-    """Train on 24 clips (static-patch artifacts), recalibrate BN."""
-    model = model_selection("istvt", num_out_classes=1, cfg=CFG)
-    opt = S.make_optimizer(TrainConfig(optimizer="adamw"),
-                           cosine_schedule(3e-4, 10_000))
-    ts = S.create_train_state(model, jax.random.PRNGKey(0), opt)
-    step = S.make_train_step(model, opt, donate=False)
-
-    train_ds = SyntheticVideoDataset(num_clips=24, seq_len=T, size=SZ,
-                                     seed=0, static_patch=True,
-                                     patch_size=PS)
-    batches = [_batch_of(train_ds, range(i, i + 8)) for i in (0, 8, 16)]
-    rng = jax.random.PRNGKey(1)
-    first = None
-    for _ in range(6):
-        for b in batches:
-            rng, srng = jax.random.split(rng)
-            ts, m = step(ts, b, srng)
-            first = first if first is not None else float(m["loss"])
-    assert float(m["loss"]) < 0.1 * first, (first, float(m["loss"]))
-    mstate = S.recalibrate_bn(model, ts.params, ts.model_state, batches)
-    return model, ts.params, mstate
+def trained(synthetic_trained):
+    """Trained tiny ISTVT on static-patch artifacts + recalibrated BN —
+    the session-scoped conftest.synthetic_trained model (also the
+    distillation teacher in tests/test_distill.py)."""
+    model, params, mstate, _ = synthetic_trained
+    return model, params, mstate
 
 
 @pytest.fixture(scope="module")
