@@ -154,8 +154,7 @@ def run_pipeline(args):
     # ---- device side alone + end-to-end
     quant = platform == "tpu"
     cfg = ISTVTConfig(num_frames=T, image_size=size,
-                      feat_hw={300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
-                          size, max(size // 16, 2)),
+                      feat_hw=istvt.infer_feat_hw(size),
                       use_pallas=platform == "tpu",
                       quantize="int8" if quant else "none")
     params, state = istvt.init(jax.random.PRNGKey(0), cfg)
@@ -270,8 +269,8 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     is_clip = any(args.model_name.startswith(k) for k in CLIP_MODELS)
 
-    feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
-        args.input_size, max(args.input_size // 16, 2))
+    from istvt_tpu.models.istvt import infer_feat_hw
+    feat_hw = infer_feat_hw(args.input_size)
     quant = args.quantize == "int8"
     if quant and (args.model_name not in ("istvt", "resnet_3d")
                   or args.train_step or platform != "tpu"):

@@ -52,8 +52,8 @@ def build_predictor(args):
     from istvt_tpu.serve import Predictor
 
     platform = jax.devices()[0].platform
-    feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
-        args.input_size, max(args.input_size // 16, 2))
+    from istvt_tpu.models.istvt import infer_feat_hw
+    feat_hw = infer_feat_hw(args.input_size)
     cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
                       feat_hw=feat_hw, depth=args.depth,
                       use_pallas=platform == "tpu",

@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
                         " faster (docs/SERVING.md levers)")
     p.add_argument("--teacher_depth", type=int, default=12,
                    help="--distill_from: the teacher's ST-layer count")
+    p.add_argument("--teacher_input_size", type=int, default=None,
+                   help="--distill_from: the teacher's input size when it"
+                        " differs from the student's -is (cross-geometry"
+                        " distillation: train clips are loaded at the"
+                        " TEACHER size, the teacher scores them, and the"
+                        " student sees their bilinear downscale — the"
+                        " composed reduced-geometry recipe in"
+                        " docs/SERVING.md)")
     p.add_argument("--teacher_optimizer", choices=["adamw", "sgd"],
                    default="adamw",
                    help="--distill_from: optimizer the teacher ckpt was"
@@ -163,10 +171,10 @@ def main(argv=None):
     from istvt_tpu.models.registry import model_selection
     from istvt_tpu.train.trainer import Trainer, evaluate
 
-    feat_hw = {300: 19, 299: 19, 256: 16, 224: 14, 75: 5, 72: 5}.get(
-        args.input_size, max((args.input_size // 16), 2))
+    from istvt_tpu.models.istvt import infer_feat_hw
     cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
-                      feat_hw=feat_hw, depth=args.depth,
+                      feat_hw=infer_feat_hw(args.input_size),
+                      depth=args.depth,
                       dropout=args.dropout,
                       use_pallas=args.use_pallas, remat=args.remat)
     model = model_selection(args.model_name, num_out_classes=1,
@@ -179,7 +187,19 @@ def main(argv=None):
                     seq_len=args.seq_len, input_size=args.input_size,
                     batch_size=args.batch_size, dataset=args.dataset)
 
-    train_ds, val_ds = make_datasets(args)
+    cross_geo = bool(args.distill_from and args.teacher_input_size
+                     and args.teacher_input_size != args.input_size)
+    if cross_geo:
+        # train clips load at the TEACHER geometry (the batch_hook
+        # downscales them for the student after scoring); val stays at
+        # the student's size — eval runs the student alone
+        import copy as _copy
+        targs = _copy.copy(args)
+        targs.input_size = args.teacher_input_size
+        train_ds, _ = make_datasets(targs)
+        _, val_ds = make_datasets(args)
+    else:
+        train_ds, val_ds = make_datasets(args)
     train_loader = ClipLoader(train_ds, batch_size=args.batch_size,
                               shuffle=True, num_workers=args.num_workers,
                               seed=args.seed)
@@ -204,7 +224,10 @@ def main(argv=None):
         from istvt_tpu.train import losses as L
         from istvt_tpu.train import step as S
         from istvt_tpu.train.schedule import cosine_schedule
-        tcfg = _dc.replace(cfg, depth=args.teacher_depth, dropout=0.0)
+        tsize = args.teacher_input_size or args.input_size
+        tcfg = _dc.replace(cfg, depth=args.teacher_depth, dropout=0.0,
+                           image_size=tsize,
+                           feat_hw=infer_feat_hw(tsize))
         teacher = model_selection(args.model_name, num_out_classes=1,
                                   dropout=0.0, cfg=tcfg)
         topt = S.make_optimizer(
@@ -216,11 +239,13 @@ def main(argv=None):
         if restored is None:
             raise SystemExit(f"--distill_from: no checkpoint under "
                              f"{args.distill_from}")
-        batch_hook = D.augment_with_teacher(D.make_teacher_fn(
-            teacher, restored.params, restored.model_state))
+        batch_hook = D.augment_with_teacher(
+            D.make_teacher_fn(teacher, restored.params,
+                              restored.model_state, mesh=mesh),
+            student_size=args.input_size if cross_geo else None)
         loss_fn = L.make_distill_loss(args.distill_alpha, args.distill_T)
         print(f"distilling from {args.distill_from} "
-              f"(teacher depth {args.teacher_depth}, "
+              f"(teacher depth {args.teacher_depth}, size {tsize}, "
               f"alpha={args.distill_alpha}, T={args.distill_T})")
     trainer = Trainer(model, tc, dc, mesh=mesh, loss_fn=loss_fn,
                       batch_hook=batch_hook,

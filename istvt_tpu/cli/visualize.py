@@ -63,8 +63,8 @@ def main(argv=None):
     if args.mode == "channels":
         return _dump_channels(args)
 
-    feat_hw = {300: 19, 299: 19, 256: 16, 75: 5, 72: 5}.get(
-        args.input_size, max(args.input_size // 16, 2))
+    from istvt_tpu.models.istvt import infer_feat_hw
+    feat_hw = infer_feat_hw(args.input_size)
     cfg = ISTVTConfig(num_frames=args.seq_len, image_size=args.input_size,
                       feat_hw=feat_hw, depth=args.depth)
     params, state = istvt.init(jax.random.PRNGKey(0), cfg)

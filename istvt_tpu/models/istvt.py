@@ -494,6 +494,37 @@ def init(key, cfg: ISTVTConfig = ISTVTConfig()):
     return {"xcep": xp, "vit": vp}, {"xcep": xs}
 
 
+# feature-grid side length of the Xception stem per input size; the
+# stem's conv/pool arithmetic is NOT a clean /16 (56 -> 4, not 3), so
+# unknown sizes are resolved by abstract shape evaluation (no FLOPs).
+# Every entry is asserted against the real stem by
+# tests/test_distill.py::test_infer_feat_hw_matches_stem.
+_FEAT_HW = {300: 19, 299: 19, 256: 16, 224: 14, 75: 5, 72: 5, 56: 4,
+            48: 3}
+
+
+def infer_feat_hw(image_size: int) -> int:
+    """feat_hw (spatial token grid side) for a given input size.
+
+    Replaces the hand-maintained size->feat_hw dicts in the CLIs: known
+    sizes hit a table, anything else runs `jax.eval_shape` through the
+    real stem (shape-only tracing — no compile, no data).
+    """
+    hw = _FEAT_HW.get(image_size)
+    if hw is None:
+        p, s = jax.eval_shape(
+            lambda k: xception.init(k, xception.XceptionConfig(
+                num_classes=2)), jax.random.PRNGKey(0))
+        feats, _ = jax.eval_shape(
+            lambda p_, s_, x_: xception.low_level_features(p_, s_, x_,
+                                                           False),
+            p, s,
+            jax.ShapeDtypeStruct((1, image_size, image_size, 3),
+                                 jnp.float32))
+        hw = _FEAT_HW[image_size] = int(feats.shape[1])
+    return hw
+
+
 def apply(params, state, clips, cfg: ISTVTConfig = ISTVTConfig(),
           train: bool = False, rng: Optional[jax.Array] = None,
           attn_bias=None, return_attn: bool = False):

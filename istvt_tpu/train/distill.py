@@ -26,12 +26,22 @@ import jax
 
 
 def make_teacher_fn(teacher_model, params, state,
-                    compute_dtype=None) -> Callable:
+                    compute_dtype=None, mesh=None) -> Callable:
     """Returns batch -> teacher logits (eval mode, jitted once).
 
     compute_dtype: cast teacher params + input for the forward (e.g.
     jnp.bfloat16 on TPU); logits are returned as produced.
+
+    mesh: the Trainer's device mesh when training is sharded — teacher
+    params/state are replicated over it so the jitted forward composes
+    with data-sharded batches (single-device teacher arrays against a
+    mesh-sharded clip tensor is an incompatible-devices error).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, rep)
+        state = jax.device_put(state, rep)
     @jax.jit
     def logits_fn(p, s, x):
         if compute_dtype is not None:
@@ -48,10 +58,29 @@ def make_teacher_fn(teacher_model, params, state,
     return teacher_fn
 
 
-def augment_with_teacher(teacher_fn: Callable) -> Callable:
-    """batch_hook for Trainer(fit): adds 'teacher_logits' to each batch."""
+def augment_with_teacher(teacher_fn: Callable,
+                         student_size: Optional[int] = None) -> Callable:
+    """batch_hook for Trainer(fit): adds 'teacher_logits' to each batch.
+
+    student_size: cross-geometry distillation — the teacher scores the
+    ORIGINAL clip, then the clip is bilinearly downscaled to
+    (student_size, student_size) for the student. Pos-embeddings are
+    per-token, so teacher and student each need their own geometry; this
+    is how the composed serving recipe (full-geometry teacher ->
+    reduced-geometry shallow student, docs/SERVING.md) is trained.
+    """
+    resize = None
+    if student_size is not None:
+        @jax.jit
+        def resize(x):
+            shape = (*x.shape[:-3], student_size, student_size, x.shape[-1])
+            return jax.image.resize(x, shape, "bilinear")
+
     def hook(batch):
         out = dict(batch)
         out["teacher_logits"] = teacher_fn(batch)
+        if resize is not None:
+            key = "clips" if "clips" in batch else "images"
+            out[key] = resize(batch[key])
         return out
     return hook

@@ -298,6 +298,11 @@ class Trainer:
             batches = []
             train_loader.set_epoch(self.tc.num_epochs)  # fresh order
             for batch in device_feed(train_loader, self.mesh):
+                # calibration must see what the step saw — under
+                # cross-geometry distillation the hook downscales clips
+                # to the student's size
+                if self.batch_hook is not None:
+                    batch = self.batch_hook(batch)
                 batches.append(batch)
                 if len(batches) >= self.recal_bn_batches:
                     break

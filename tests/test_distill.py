@@ -81,6 +81,69 @@ def test_student_learns_from_teacher_logits_alone(synthetic_trained):
     assert s_auc >= 0.9, f"distilled student val AUC {s_auc}"
 
 
+def test_infer_feat_hw_matches_stem():
+    """The stem's grid law is NOT a clean size//16 (56 -> 4, not 3);
+    infer_feat_hw must agree with the real stem at EVERY table entry
+    and at an eval_shape-resolved size (64)."""
+    from istvt_tpu.models import xception
+    from istvt_tpu.models.istvt import _FEAT_HW, infer_feat_hw
+    for sz in (*sorted(_FEAT_HW), 64):
+        p, s = jax.eval_shape(
+            lambda k: xception.init(k, xception.XceptionConfig(
+                num_classes=2)), jax.random.PRNGKey(0))
+        feats, _ = jax.eval_shape(
+            lambda p_, s_, x_: xception.low_level_features(p_, s_, x_,
+                                                           False),
+            p, s, jax.ShapeDtypeStruct((1, sz, sz, 3), jnp.float32))
+        assert infer_feat_hw(sz) == feats.shape[1], sz
+
+
+def test_student_learns_at_reduced_geometry(synthetic_trained):
+    """Composed serving recipe's knowledge-transfer path (docs/SERVING.md
+    'both levers stack'): the student is BOTH shallower (depth 1) and at
+    a REDUCED input size (48^2 vs the teacher's 72^2). The teacher
+    scores the original clips; the hook downscales them for the student
+    (logits are geometry-free, pos-embeddings are not — each model keeps
+    its own grid). Trained from soft targets alone, the student must
+    still separate held-out clips."""
+    from istvt_tpu.models.istvt import infer_feat_hw
+    teacher, tp, tms, batches = synthetic_trained
+    SSZ = 48
+    hook = D.augment_with_teacher(D.make_teacher_fn(teacher, tp, tms),
+                                  student_size=SSZ)
+    small = [hook(b) for b in batches]   # teacher logits are static
+    assert small[0]["clips"].shape[2:4] == (SSZ, SSZ)
+    assert small[0]["teacher_logits"].shape[0] == \
+        small[0]["clips"].shape[0]
+
+    student = model_selection(
+        "istvt", num_out_classes=1,
+        cfg=ISTVTConfig(num_frames=T, image_size=SSZ,
+                        feat_hw=infer_feat_hw(SSZ), depth=1))
+    opt = S.make_optimizer(TrainConfig(optimizer="adamw"),
+                           cosine_schedule(3e-4, 10_000))
+    ts = S.create_train_state(student, jax.random.PRNGKey(11), opt)
+    step = S.make_train_step(
+        student, opt, donate=False,
+        loss_fn=L.make_distill_loss(alpha=0.0, temperature=2.0))
+    rng = jax.random.PRNGKey(12)
+    for _ in range(6):
+        for b in small:
+            rng, srng = jax.random.split(rng)
+            ts, m = step(ts, b, srng)
+    sms = S.recalibrate_bn(student, ts.params, ts.model_state, small)
+
+    val_ds = SyntheticVideoDataset(num_clips=16, seq_len=T, size=SZ,
+                                   seed=999, static_patch=True,
+                                   patch_size=24)
+    vb = _batch_of(val_ds, range(16))
+    vb = {"clips": jax.image.resize(
+              vb["clips"], (16, T, SSZ, SSZ, 3), "bilinear"),
+          "labels": vb["labels"]}
+    s_auc = _val_auc(student, ts.params, sms, vb)
+    assert s_auc >= 0.9, f"reduced-geometry student val AUC {s_auc}"
+
+
 def test_cli_distill_requires_checkpoint(tmp_path):
     from istvt_tpu.cli import train as cli_train
     with pytest.raises(SystemExit, match="no checkpoint"):
@@ -89,3 +152,23 @@ def test_cli_distill_requires_checkpoint(tmp_path):
                         "--dataset", "synthetic", "--dataset_len", "8",
                         "-bs", "4", "-e", "1", "-o", "",
                         "--distill_from", str(tmp_path / "nope")])
+
+
+def test_cli_cross_geometry_distill(tmp_path):
+    """--teacher_input_size end to end: a 72^2 teacher checkpoint
+    distills into a 48^2 student — the composed serving recipe's CLI
+    path. Train batches load at the TEACHER size, the hook downscales
+    them for the student, and --recal_bn calibrates on the downscaled
+    (hook-applied) batches."""
+    import os
+    from istvt_tpu.cli import train as cli_train
+    tdir, sdir = str(tmp_path / "teacher"), str(tmp_path / "student")
+    cli_train.main(["-mn", "istvt", "-d", "synthetic", "-is", "72",
+                    "-sl", "3", "-bs", "8", "-e", "1", "--depth", "1",
+                    "--dataset_len", "8", "-o", tdir])
+    cli_train.main(["-mn", "istvt", "-d", "synthetic", "-is", "48",
+                    "-sl", "3", "-bs", "8", "-e", "1", "--depth", "1",
+                    "--dataset_len", "8", "--recal_bn", "1",
+                    "--distill_from", tdir, "--teacher_depth", "1",
+                    "--teacher_input_size", "72", "-o", sdir])
+    assert os.path.isdir(sdir)
