@@ -13,7 +13,12 @@ compile outlived the driver's timeout and the round lost its official
 number). Architecture now: a lightweight PARENT process (no jax import)
 runs each measurement leg in a CHILD subprocess with a hard kill
 timeout, under a global wall-clock budget (env BENCH_BUDGET_S, default
-420 s). Legs in order of decreasing safety:
+540 s — slow-tunnel sessions have measured the anchor's compile alone
+at ~325 s). The headline JSON line prints TWICE: immediately when the
+anchor completes (so a driver kill during enrichment can never erase
+the number — the driver records stdout even at rc=124), and again at
+the end with enrichment fields, same headline value. Legs in order of
+decreasing safety:
 
   1. throughput B=16  — the known-fast-compiling config (round-2's
      official 263 clips/s artifact used it); this leg's result alone is
@@ -22,6 +27,9 @@ timeout, under a global wall-clock budget (env BENCH_BUDGET_S, default
      (~315 clips/s); attempted only if budget remains, upgraded into
      the result only if it beats leg 1.
   3. bs=1 latency     — enrichment only; skipped first under pressure.
+  4. recipe 224²/d6   — enrichment only (extra.recipe_224_d6_clips_per_sec,
+     the composed distilled-student geometry, docs/SERVING.md); runs
+     only when ample budget remains and can never become the headline.
 
 The parent prints the best completed result as the FINAL stdout line no
 matter which legs died — SIGALRM inside a child is NOT reliable (a
@@ -47,7 +55,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # --------------------------------------------------------------------------
 
 def _child_throughput(batch: int, iters: int,
-                      measure_latency: bool = False) -> None:
+                      measure_latency: bool = False,
+                      size: int = 300, depth: int = 12) -> None:
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -70,7 +79,9 @@ def _child_throughput(batch: int, iters: int,
         and platform == "tpu"
 
     cfg = ISTVTConfig(use_pallas=platform == "tpu",
-                      quantize="int8" if quant else "none")
+                      quantize="int8" if quant else "none",
+                      image_size=size, feat_hw=istvt.infer_feat_hw(size),
+                      depth=depth)
     rng = jax.random.PRNGKey(0)
     params, state = istvt.init(rng, cfg)
     if platform == "tpu":
@@ -114,6 +125,8 @@ def _child_throughput(batch: int, iters: int,
         "per_clip_ms": round(dt * 1000.0 / batch, 3),
         "platform": platform,
         "batch": batch,
+        "image_size": size,
+        "depth": depth,
         "iters": iters,
         "dtype": "int8_w8a8" if quant else
                  str(dtype.__name__ if hasattr(dtype, "__name__")
@@ -172,11 +185,16 @@ def main() -> None:
         i = sys.argv.index("--leg")
         batch = int(sys.argv[i + 1])
         iters = int(sys.argv[i + 2])
+        size = int(sys.argv[sys.argv.index("--size") + 1]) \
+            if "--size" in sys.argv else 300
+        depth = int(sys.argv[sys.argv.index("--depth") + 1]) \
+            if "--depth" in sys.argv else 12
         _child_throughput(batch, iters,
-                          measure_latency="--lat" in sys.argv)
+                          measure_latency="--lat" in sys.argv,
+                          size=size, depth=depth)
         return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
     deadline = time.monotonic() + budget
 
     def remaining() -> float:
@@ -234,11 +252,54 @@ def main() -> None:
             best = r
         return r is not None
 
-    # anchor leg capped at 300 s (healthy runs take ~200-260 s incl.
-    # compile) so a fast crash leaves budget for ONE retry — a transient
-    # tunnel stall ate the whole budget in an r4 shakeout run
-    if not try_leg(*plan[0], cap=300) and remaining() > 140:
+    # anchor leg capped at 420 s: slow-tunnel sessions have measured the
+    # 300² int8 compile alone at ~325 s (a 300 s cap zeroed a shakeout
+    # run late in r4), and the NUMBER matters more than any enrichment
+    # leg. A fast crash still leaves budget for ONE retry.
+    if not try_leg(*plan[0], cap=420) and remaining() > 140:
         try_leg(*plan[0])
+
+    def result_line(extra_fields=None):
+        cps = best["clips_per_sec"]
+        r = {
+            "metric": "istvt_fwd_clips_per_sec_per_chip",
+            "value": cps,
+            "unit": "clips/s",
+            "vs_baseline": round(cps / PER_CHIP_BASELINE, 4),
+            "extra": {
+                "platform": best["platform"],
+                "batch": best["batch"],
+                "iters": best["iters"],
+                "dtype": best["dtype"],
+                "per_clip_ms": best["per_clip_ms"],
+                "legs": dict(legs),
+            },
+        }
+        r["extra"].update(extra_fields or {})
+        return r
+
+    # print the headline IMMEDIATELY once the anchor is in: the driver
+    # records stdout even when it kills a run (r3's artifact captured
+    # the tail at rc=124), so a number secured here survives the driver
+    # timing out the enrichment legs below. The final print repeats the
+    # SAME value with enrichment fields — whichever line a parser takes,
+    # the headline is identical.
+    if best is not None:
+        print(json.dumps(result_line()), flush=True)
+
+    # composed-recipe enrichment FIRST (docs/SERVING.md "Composed
+    # recipe"): the 224²/depth-6 distilled-student geometry, extra-only
+    # — it can NEVER become the headline value (that stays the exact
+    # paper formulation). Its compile is small (~30 s measured); on a
+    # slow-tunnel day it is the one enrichment worth the budget.
+    rec = None
+    if (best is not None and best.get("platform") == "tpu"
+            and os.environ.get("BENCH_RECIPE", "1") == "1"
+            and remaining() > 140):
+        rec, why = _run_leg(["--leg", "16", str(iters), "--size", "224",
+                             "--depth", "6"],
+                            min(remaining() - 15, 170))
+        legs["recipe_224_d6"] = why
 
     # latency enrichment BEFORE any extra throughput legs — a timed-out
     # b32 attempt must not starve it (that happened in the r4 shakeout).
@@ -268,25 +329,13 @@ def main() -> None:
         }))
         sys.exit(0)
 
-    cps = best["clips_per_sec"]
-    result = {
-        "metric": "istvt_fwd_clips_per_sec_per_chip",
-        "value": cps,
-        "unit": "clips/s",
-        "vs_baseline": round(cps / PER_CHIP_BASELINE, 4),
-        "extra": {
-            "platform": best["platform"],
-            "batch": best["batch"],
-            "iters": best["iters"],
-            "dtype": best["dtype"],
-            "per_clip_ms": best["per_clip_ms"],
-            "legs": legs,
-        },
-    }
+    enrich = {}
     if lat is not None:
-        result["extra"]["p50_latency_ms_bs1"] = lat.get("p50_latency_ms_bs1")
-        result["extra"]["device_ms_bs1"] = lat.get("device_ms_bs1")
-    print(json.dumps(result))
+        enrich["p50_latency_ms_bs1"] = lat.get("p50_latency_ms_bs1")
+        enrich["device_ms_bs1"] = lat.get("device_ms_bs1")
+    if rec is not None:
+        enrich["recipe_224_d6_clips_per_sec"] = rec["clips_per_sec"]
+    print(json.dumps(result_line(enrich)))
 
 
 if __name__ == "__main__":
