@@ -155,12 +155,18 @@ def test_cli_distill_requires_checkpoint(tmp_path):
 
 
 def test_cli_cross_geometry_distill(tmp_path):
-    """--teacher_input_size end to end: a 72^2 teacher checkpoint
-    distills into a 48^2 student — the composed serving recipe's CLI
-    path. Train batches load at the TEACHER size, the hook downscales
-    them for the student, and --recal_bn calibrates on the downscaled
-    (hook-applied) batches."""
+    """The production recipe end to end, CLI only: train a 72^2 teacher,
+    distill a 48^2 student (--teacher_input_size: train batches load at
+    the TEACHER size, the hook downscales them for the student,
+    --recal_bn calibrates on the downscaled hook-applied batches), then
+    export the student as a self-contained serving artifact and score
+    clips through it."""
     import os
+
+    import numpy as np
+
+    from istvt_tpu import serve_export as SE
+    from istvt_tpu.cli import export as cli_export
     from istvt_tpu.cli import train as cli_train
     tdir, sdir = str(tmp_path / "teacher"), str(tmp_path / "student")
     cli_train.main(["-mn", "istvt", "-d", "synthetic", "-is", "72",
@@ -172,3 +178,13 @@ def test_cli_cross_geometry_distill(tmp_path):
                     "--distill_from", tdir, "--teacher_depth", "1",
                     "--teacher_input_size", "72", "-o", sdir])
     assert os.path.isdir(sdir)
+
+    art = str(tmp_path / "artifact")
+    cli_export.main(["-mn", "istvt", "-sl", "3", "-is", "48",
+                     "--depth", "1", "-o", sdir,
+                     "--batch_sizes", "2", "--out", art, "--selftest"])
+    scorer = SE.load_artifact(art)
+    clips = np.random.default_rng(0).standard_normal(
+        (2, 3, 48, 48, 3)).astype(np.float32)
+    out = scorer.predict(clips)
+    assert np.all(np.isfinite(out["logits"]))
