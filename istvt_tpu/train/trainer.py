@@ -236,9 +236,16 @@ class Trainer:
 
         def _save_and_exit(signum, frame):
             if self.ckpt is not None:
-                self.log(f"signal {signum}: checkpointing before exit")
-                self.ckpt.save(int(state_box["ts"].step),
-                               jax.device_get(state_box["ts"]), wait=True)
+                step = int(state_box["ts"].step)
+                self.log(f"signal {signum}: checkpointing step {step} "
+                         f"before exit")
+                self.ckpt.wait()  # commit any in-flight async epoch save
+                if self.ckpt.latest_step() != step:
+                    # orbax refuses same-step overwrites; when the signal
+                    # lands right after an epoch-end save of this exact
+                    # step, that save already holds the state
+                    self.ckpt.save(step, jax.device_get(state_box["ts"]),
+                                   wait=True)
             raise SystemExit(128 + signum)
 
         prev_handlers = {}
