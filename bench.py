@@ -30,6 +30,14 @@ decreasing safety:
   4. recipe 224²/d6   — enrichment only (extra.recipe_224_d6_clips_per_sec,
      the composed distilled-student geometry, docs/SERVING.md); runs
      only when ample budget remains and can never become the headline.
+  5. train step B=32 grad_accum=2 — enrichment only, LAST in budget
+     order (extra.train_clips_per_sec; the B=32 train compile was the
+     round-3 budget-killer, so it can never precede the headline or
+     the other enrichments). Reuses cli.bench --train_step (the
+     reference's driver is a TRAINING harness, train_CNN.py:495-549);
+     the ~60 clips/s record in BASELINE.md becomes driver-capturable.
+     BENCH_TRAIN=0 disables; a skipped/timed-out leg leaves an honest
+     diagnostic in extra.legs.
 
 The parent prints the best completed result as the FINAL stdout line no
 matter which legs died — SIGALRM inside a child is NOT reliable (a
@@ -181,6 +189,21 @@ def _run_leg(args: list[str], timeout_s: float) -> tuple[dict | None, str]:
 
 
 def main() -> None:
+    if "--leg-train" in sys.argv:
+        i = sys.argv.index("--leg-train")
+        batch, accum, iters = (int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                               int(sys.argv[i + 3]))
+        size = sys.argv[sys.argv.index("--size") + 1] \
+            if "--size" in sys.argv else "300"
+        depth = sys.argv[sys.argv.index("--depth") + 1] \
+            if "--depth" in sys.argv else "12"
+        sys.path.insert(0, REPO)
+        from istvt_tpu.cli import bench as cli_bench
+        cli_bench.main(["-mn", "istvt", "-bs", str(batch),
+                        "--grad_accum", str(accum), "--train_step",
+                        "--iters", str(iters), "-is", size,
+                        "--depth", depth])
+        return
     if "--leg" in sys.argv:
         i = sys.argv.index("--leg")
         batch = int(sys.argv[i + 1])
@@ -316,6 +339,20 @@ def main() -> None:
     for batch, n_iters in plan[1:]:
         try_leg(batch, n_iters)
 
+    # train-step enrichment LAST (VERDICT r4 #5): B=32 grad_accum=2 is
+    # the measured-best training config (~60 clips/s, BASELINE.md) but
+    # its compile is the historical budget-killer — it runs only after
+    # every other leg is secured, in its own kill-timeout subprocess.
+    trn = None
+    if (best is not None and best.get("platform") == "tpu"
+            and os.environ.get("BENCH_TRAIN", "1") == "1"):
+        if remaining() > 150:
+            trn, why = _run_leg(["--leg-train", "32", "2", "4"],
+                                min(remaining() - 15, 300))
+        else:
+            why = "skipped_budget"
+        legs["train_b32_accum2"] = why
+
     if best is None:
         # nothing completed: emit an honest failure line (still valid
         # JSON so the driver records *something* parseable).
@@ -335,6 +372,11 @@ def main() -> None:
         enrich["device_ms_bs1"] = lat.get("device_ms_bs1")
     if rec is not None:
         enrich["recipe_224_d6_clips_per_sec"] = rec["clips_per_sec"]
+    if trn is not None:
+        enrich["train_clips_per_sec"] = trn.get("items_per_sec")
+        enrich["train_step_ms"] = trn.get("mean_ms")
+        enrich["train_batch"] = trn.get("batch")
+        enrich["train_grad_accum"] = trn.get("grad_accum")
     print(json.dumps(result_line(enrich)))
 
 
