@@ -43,6 +43,12 @@ def parse_args(argv=None):
                    help="sampled frames per face-box re-localization")
     p.add_argument("--limit-frames", type=int, default=None,
                    help="cap frames per video")
+    p.add_argument("--boxes", default=None,
+                   help="JSON manifest of external detector boxes "
+                        "(dlib/MTCNN/...): {video: {frame: [y0,x0,h,w]}}. "
+                        "Covered videos use these boxes EXACTLY instead "
+                        "of the skin-prior localizer; uncovered ones "
+                        "fall back to --crop-mode.")
     p.add_argument("--workers", type=int, default=os.cpu_count() or 8)
     p.add_argument("--use-native", action="store_true", default=None,
                    help="force the native libav decoder (default: auto)")
@@ -52,9 +58,11 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     from istvt_tpu.data.manifest import FFPP_METHODS
-    from istvt_tpu.data.video_frontend import extract_frames, scan_ffpp_videos
+    from istvt_tpu.data.video_frontend import (BoxManifest, extract_frames,
+                                               scan_ffpp_videos)
 
     args = parse_args(argv)
+    boxes = BoxManifest(args.boxes) if args.boxes else None
     entries = scan_ffpp_videos(args.root, args.quality)
     if not entries:
         print(f"no videos found under {args.root}", file=sys.stderr)
@@ -76,7 +84,8 @@ def main(argv=None) -> int:
                                crop_mode=args.crop_mode,
                                limit=args.limit_frames,
                                use_native=args.use_native,
-                               redetect_every=args.redetect_every)
+                               redetect_every=args.redetect_every,
+                               boxes=boxes)
         except Exception as e:  # one broken video must not kill the run
             return entry["path"], None, f"{type(e).__name__}: {e}"
         return entry["path"], n, None

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_native_decode", action="store_true",
                    help="C++ clip decoder fast path (pixels differ "
                         "slightly from PIL on downscale — opt-in)")
+    p.add_argument("--boxes", default=None, metavar="MANIFEST_JSON",
+                   help="ff++video only: external detector crop boxes "
+                        "{video: {frame: [y0,x0,h,w]}} overriding the "
+                        "skin-prior localizer (docs/DATA.md)")
     p.add_argument("--dump_attns_every", type=int, default=0,
                    help="save ensemble attention maps (s_attns metrics "
                         "keys) as .npy every N iterations, reference "
@@ -141,11 +145,13 @@ def make_datasets(args):
                                 seq_len=args.seq_len,
                                 dataset_len=args.dataset_len,
                                 seed=args.seed,
-                                use_native=use_native)
+                                use_native=use_native,
+                                boxes=getattr(args, "boxes", None))
         val = RawVideoDataset(root=args.data_root, quality=args.quality,
                               mode="Test", size=args.input_size,
                               seq_len=args.seq_len, return_fake_type=True,
-                              use_native=use_native)
+                              use_native=use_native,
+                              boxes=getattr(args, "boxes", None))
         return train, val
     train = VideoSeqDataset(root=args.data_root, quality=args.quality,
                             transform=tf["train"], size=args.input_size,

@@ -31,6 +31,7 @@ from istvt_tpu.data.loader import (  # noqa: F401
     device_normalize,
 )
 from istvt_tpu.data.video_frontend import (  # noqa: F401
+    BoxManifest,
     RawVideoDataset,
     decode_clip,
     extract_frames,

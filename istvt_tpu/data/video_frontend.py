@@ -25,9 +25,10 @@ when available — pass False to pin the cv2 path everywhere.
 """
 from __future__ import annotations
 
+import json
 import os
 import warnings
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -165,6 +166,85 @@ def decode_clip(path: str, indices: Sequence[int], out_size: int,
 
 
 # ---------------------------------------------------------------------------
+# external crop boxes (detector output ingestion)
+
+
+class BoxManifest:
+    """Externally produced face boxes (dlib/MTCNN/RetinaFace/...) that
+    OVERRIDE the in-tree skin-prior localization wherever a video is
+    covered — the escape hatch docs/DATA.md's placeholder warning points
+    real-data users at: run any detector offline, write one JSON file,
+    and the frontend honors its boxes exactly (no code changes).
+
+    Manifest format — one JSON object for a whole tree:
+
+        {"<video key>": {"<frame index>": [y0, x0, h, w], ...}, ...}
+
+    Boxes are integer SOURCE-pixel (y0, x0, h, w), the same convention
+    `decode_clip` consumes (degenerate/out-of-range boxes get the same
+    clamp the native decoder applies). A video is matched by, in order:
+    the exact path handed to the dataset, its absolute path, its path
+    relative to the manifest file's directory, its basename, its stem.
+    Frames with no annotation take the NEAREST annotated frame's box
+    (sparse detector output — every Nth frame — is the common case);
+    annotated frames are honored exactly (tests/test_video_frontend.py).
+    """
+
+    def __init__(self, source: Union[str, os.PathLike, Dict]):
+        if isinstance(source, (str, os.PathLike)):
+            self._dir = os.path.dirname(os.path.abspath(source))
+            with open(source) as f:
+                raw = json.load(f)
+        else:
+            self._dir, raw = "", dict(source)
+        self._videos: Dict[str, Dict[int, Tuple[int, int, int, int]]] = {}
+        for key, frames in raw.items():
+            boxes = {int(fi): tuple(int(v) for v in box)
+                     for fi, box in frames.items()}
+            for box in boxes.values():
+                if len(box) != 4:
+                    raise ValueError(
+                        f"BoxManifest['{key}']: box must be "
+                        f"[y0, x0, h, w], got {box}")
+            self._videos[key] = boxes
+
+    def lookup(self, video_path: str
+               ) -> Optional[Dict[int, Tuple[int, int, int, int]]]:
+        base = os.path.basename(video_path)
+        cands = [video_path, os.path.abspath(video_path)]
+        if self._dir:
+            cands.append(os.path.relpath(os.path.abspath(video_path),
+                                         self._dir))
+        cands += [base, os.path.splitext(base)[0]]
+        for c in cands:
+            if c in self._videos:
+                return self._videos[c]
+        return None
+
+    def boxes_for(self, video_path: str,
+                  indices: Sequence[int]) -> Optional[np.ndarray]:
+        """(len(indices), 4) int32 crops aligned with `indices` (order
+        given), or None when the manifest does not cover this video."""
+        entry = self.lookup(video_path)
+        if not entry:
+            return None
+        ann = np.asarray(sorted(entry), np.int64)
+        out = np.empty((len(indices), 4), np.int32)
+        for i, fi in enumerate(indices):
+            nearest = int(ann[np.argmin(np.abs(ann - int(fi)))])
+            out[i] = entry[nearest]
+        return out
+
+
+def _as_manifest(boxes: Optional[Union[str, os.PathLike, Dict,
+                                       "BoxManifest"]]
+                 ) -> Optional["BoxManifest"]:
+    if boxes is None or isinstance(boxes, BoxManifest):
+        return boxes
+    return BoxManifest(boxes)
+
+
+# ---------------------------------------------------------------------------
 # face localization (landmark-lite)
 
 
@@ -273,13 +353,25 @@ def _detect_box(path: str, frame_idx: int, src_hw: Tuple[int, int],
 def clip_face_crops(path: str, indices: Sequence[int], margin: float = 1.3,
                     mode: str = "skin", probe_size: int = 128,
                     use_native: Optional[bool] = None,
-                    src_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+                    src_hw: Optional[Tuple[int, int]] = None,
+                    boxes: Optional["BoxManifest"] = None) -> np.ndarray:
     """One face box for a whole clip, from its MIDDLE frame (faces move
     little within 6 consecutive frames; one box keeps the crop temporally
     stable, which the self-subtract attention requires — per-frame boxes
     would alias crop jitter into the frame-difference signal).
 
+    boxes: optional BoxManifest of external detector output; when it
+    covers this video its per-frame boxes are returned EXACTLY (aligned
+    with `indices`, nearest-annotated fill) and no detection runs —
+    detector pipelines emit temporally smoothed tracks, so the stability
+    law above is theirs to enforce. Uncovered videos fall through to the
+    in-tree localizer.
+
     -> (len(indices), 4) int32 (y0, x0, h, w) in source pixels."""
+    if boxes is not None:
+        ext = boxes.boxes_for(path, list(indices))
+        if ext is not None:
+            return ext
     idx = sorted(indices)
     mid = idx[len(idx) // 2]
     if src_hw is None:
@@ -346,7 +438,8 @@ class RawVideoDataset(ClipDataset):
                  mean: float = 0.5, std: float = 0.5,
                  dataset_len: Optional[int] = None, seed: int = 0,
                  return_fake_type: bool = False,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 boxes: Optional[Union[str, Dict, "BoxManifest"]] = None):
         methods = ["original", subset] if subset else None
         self.entries = scan_ffpp_videos(root, quality, methods)
         if not self.entries:
@@ -361,6 +454,7 @@ class RawVideoDataset(ClipDataset):
         self.seed = seed
         self.return_fake_type = return_fake_type
         self.use_native = use_native
+        self.boxes = _as_manifest(boxes)
         self._len = dataset_len or len(self.entries)
         self._nframes: Dict[str, int] = {}
 
@@ -390,7 +484,7 @@ class RawVideoDataset(ClipDataset):
         crops = clip_face_crops(entry["path"], idxs, margin=self.margin,
                                 mode=self.crop_mode,
                                 use_native=self.use_native,
-                                src_hw=(h, w))
+                                src_hw=(h, w), boxes=self.boxes)
         clip = decode_clip(entry["path"], idxs, self.size, crops=crops,
                            mean=self.mean, std=self.std,
                            use_native=self.use_native)
@@ -409,7 +503,8 @@ def extract_frames(video_path: str, out_dir: str, every_n: int = 1,
                    crop_mode: str = "skin", limit: Optional[int] = None,
                    use_native: Optional[bool] = None,
                    redetect_every: int = 25,
-                   probe_size: int = 128) -> int:
+                   probe_size: int = 128,
+                   boxes: Optional["BoxManifest"] = None) -> int:
     """Decode every `every_n`-th frame of one video, face-crop with
     margin, resize to `size`, save as JPEGs '0000.jpg'.. in out_dir
     (the docs/DATA.md frame layout). Returns frames written.
@@ -417,7 +512,12 @@ def extract_frames(video_path: str, out_dir: str, every_n: int = 1,
     The face is RE-LOCALIZED every `redetect_every` sampled frames (one
     clip_face_crops-style stable box per chunk): a single whole-video box
     would drift off a moving subject, while per-frame boxes would alias
-    crop jitter into the temporal signal the model reads."""
+    crop jitter into the temporal signal the model reads.
+
+    boxes: optional BoxManifest of external detector output — when it
+    covers this video, its per-frame boxes are honored exactly
+    (nearest-annotated fill for unannotated frames) and no in-tree
+    detection runs."""
     from PIL import Image
 
     n, w, h, _ = probe(video_path)
@@ -426,7 +526,10 @@ def extract_frames(video_path: str, out_dir: str, every_n: int = 1,
         idxs = idxs[:limit]
     if not idxs:
         return 0
-    if crop_mode == "none":
+    ext = boxes.boxes_for(video_path, idxs) if boxes is not None else None
+    if ext is not None:
+        crops = ext
+    elif crop_mode == "none":
         crops = np.tile(np.asarray((0, 0, h, w), np.int32),
                         (len(idxs), 1))
     else:

@@ -300,3 +300,105 @@ def test_detect_box_probe_mapping_iou():
     ious = np.asarray(ious)
     assert ious.mean() > 0.75, ious
     assert ious.min() > 0.70, ious
+
+
+# ---------------------------------------------------------------------------
+# External crop-box ingestion (VERDICT r4 #6): real-data users plug
+# dlib/MTCNN output in as a JSON manifest; covered videos must use those
+# boxes EXACTLY, uncovered ones keep the in-tree localizer.
+
+
+def test_box_manifest_exact_honoring(video_tree, tmp_path):
+    import json
+
+    from istvt_tpu.data.video_frontend import BoxManifest
+
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    man = {"vid0": {"0": [10, 20, 64, 64], "8": [12, 24, 64, 64]}}
+    mf_path = tmp_path / "boxes.json"
+    mf_path.write_text(json.dumps(man))
+    bm = BoxManifest(str(mf_path))
+
+    crops = clip_face_crops(path, [0, 3, 8, 9], boxes=bm)
+    expect = np.asarray([[10, 20, 64, 64],    # frame 0: annotated, exact
+                         [10, 20, 64, 64],    # frame 3: nearest (0)
+                         [12, 24, 64, 64],    # frame 8: annotated, exact
+                         [12, 24, 64, 64]],   # frame 9: nearest (8)
+                        np.int32)
+    np.testing.assert_array_equal(crops, expect)
+    # and the decode consumes them verbatim
+    a = decode_clip(path, [0, 3, 8, 9], 48, crops=crops)
+    b = decode_clip(path, [0, 3, 8, 9], 48, crops=expect)
+    np.testing.assert_allclose(a, b, atol=1e-7)
+
+    # dict source + stem/basename/path key matching all resolve
+    bm2 = BoxManifest(man)
+    assert bm2.lookup(path) is not None
+    assert BoxManifest({"vid0.mp4": man["vid0"]}).lookup(path)
+    assert BoxManifest({path: man["vid0"]}).lookup(path)
+    # uncovered video: None -> caller falls back to the localizer
+    other = os.path.join(video_tree, "hq", "original", "vid1.mp4")
+    assert bm.boxes_for(other, [0]) is None
+    fall = clip_face_crops(other, [0, 1], boxes=bm)
+    np.testing.assert_array_equal(
+        fall, clip_face_crops(other, [0, 1]))
+
+
+def test_raw_video_dataset_honors_external_boxes(video_tree):
+    from istvt_tpu.data.video_frontend import BoxManifest
+
+    box = [14, 30, 70, 70]
+    man = {"vid0": {"0": box}}
+    ds = RawVideoDataset(video_tree, quality="hq", seq_len=4, size=72,
+                         mode="Test", boxes=man)   # dict accepted too
+    assert isinstance(ds.boxes, BoxManifest)
+    i = next(i for i, e in enumerate(ds.entries)
+             if e["path"].endswith("vid0.mp4"))
+    item = ds[i]
+    # deterministic Test-mode indices: centered span
+    start = (NF - 4) // 2
+    idxs = list(range(start, start + 4))
+    expect = decode_clip(ds.entries[i]["path"], idxs, 72,
+                         crops=np.tile(np.asarray(box, np.int32), (4, 1)))
+    np.testing.assert_allclose(item["clips"], expect, atol=1e-7)
+
+
+def test_extract_frames_honors_per_frame_boxes(video_tree, tmp_path):
+    from PIL import Image
+
+    from istvt_tpu.data.video_frontend import BoxManifest
+
+    path = os.path.join(video_tree, "hq", "original", "vid0.mp4")
+    boxA, boxB = [0, 0, 60, 60], [40, 80, 60, 60]
+    bm = BoxManifest({"vid0": {"0": boxA, "2": boxB}})
+    out = tmp_path / "frames"
+    wrote = extract_frames(path, str(out), every_n=1, size=64, limit=4,
+                           boxes=bm)
+    assert wrote == 4
+    # frames 0,1 -> boxA (1 ties to 0, first-nearest wins); 2,3 -> boxB
+    crops = np.asarray([boxA, boxA, boxB, boxB], np.int32)
+    expect = decode_clip(path, [0, 1, 2, 3], 64, crops=crops,
+                         mean=0.0, std=1.0 / 255.0)
+    for i in range(4):
+        got = np.asarray(Image.open(out / f"{i:04d}.jpg").convert("RGB"),
+                         np.float32)
+        ref = np.clip(expect[i], 0, 255)
+        assert np.abs(got - ref).mean() < 4.0, i  # JPEG q95 tolerance
+
+
+def test_preprocess_cli_boxes_flag(video_tree, tmp_path):
+    import json
+
+    from istvt_tpu.cli.preprocess import main as preprocess_main
+
+    mf_path = tmp_path / "boxes.json"
+    mf_path.write_text(json.dumps(
+        {f"vid{s}": {"0": [8, 16, 72, 72]} for s in range(4)}))
+    out = tmp_path / "frames"
+    rc = preprocess_main(["--root", video_tree, "--out", str(out),
+                          "--quality", "hq", "--every-n", "10",
+                          "--size", "64", "--workers", "2",
+                          "--boxes", str(mf_path)])
+    assert rc == 0
+    assert sorted(os.listdir(out / "hq" / "original" / "vid0")) == \
+        ["0000.jpg", "0001.jpg", "0002.jpg"]
