@@ -310,13 +310,15 @@ class SyntheticVideoDataset(ClipDataset):
 
     def __init__(self, num_clips: int = 64, seq_len: int = 6,
                  size: int = 300, seed: int = 0,
-                 static_patch: bool = False, patch_size: int | None = None):
+                 static_patch: bool = False, patch_size: int | None = None,
+                 amp_range: tuple | None = None):
         self.num_clips = num_clips
         self.seq_len = seq_len
         self.size = size
         self.seed = seed
         self.static_patch = static_patch
         self.patch_size = patch_size
+        self.amp_range = amp_range
 
     def __len__(self):
         return self.num_clips
@@ -330,17 +332,26 @@ class SyntheticVideoDataset(ClipDataset):
         for t in range(self.seq_len):
             clip[t] = np.roll(clip[t], shift=t, axis=1)
         y = x = -1
+        amp = 1.0
         if label == 1:
             ps = self.patch_size or max(self.size // 8, 2)
+            if self.amp_range is not None:
+                # graded artifact STRENGTH (noise std), deterministic per
+                # index — gives val logits a meaningful within-class
+                # ranking (teacher-fidelity rank correlation in
+                # train/certify.py is noise on a saturated fixed-amp task)
+                amp = float(rng.uniform(*self.amp_range))
             y = x = None
             for t in range(self.seq_len):
                 if y is None or not self.static_patch:
                     y = int(rng.integers(0, self.size - ps))
                     x = int(rng.integers(0, self.size - ps))
-                clip[t, y:y + ps, x:x + ps] += rng.normal(
-                    0, 1.0, (ps, ps, 3)).astype(np.float32)
+                clip[t, y:y + ps, x:x + ps] += (amp * rng.normal(
+                    0, 1.0, (ps, ps, 3))).astype(np.float32)
         out = {"clips": clip, "labels": np.int32(label),
                "fake_types": np.int32(label)}
+        if self.amp_range is not None:
+            out["amp"] = np.float32(amp if label == 1 else 0.0)
         if self.static_patch:
             # localization ground truth: top-left of the (fixed) artifact
             # patch, (-1,-1) for real clips — consumed by the LRP
