@@ -315,6 +315,10 @@ def main() -> None:
     # — it can NEVER become the headline value (that stays the exact
     # paper formulation). Its compile is small (~30 s measured); on a
     # slow-tunnel day it is the one enrichment worth the budget.
+    # Accuracy contract for this geometry: CERT_RECIPE.json, produced by
+    # `python -m istvt_tpu.cli.certify` (disjoint-val AUC + int8 parity
+    # + LRP localization of the distilled int8 student; the same chain
+    # runs at toy geometry in tests/test_certify.py).
     rec = None
     if (best is not None and best.get("platform") == "tpu"
             and os.environ.get("BENCH_RECIPE", "1") == "1"

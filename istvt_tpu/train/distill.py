@@ -23,10 +23,13 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 def make_teacher_fn(teacher_model, params, state,
-                    compute_dtype=None, mesh=None) -> Callable:
+                    compute_dtype=None, mesh=None,
+                    cam_cfg=None, cam_chunk: Optional[int] = None
+                    ) -> Callable:
     """Returns batch -> teacher logits (eval mode, jitted once).
 
     compute_dtype: cast teacher params + input for the forward (e.g.
@@ -36,6 +39,24 @@ def make_teacher_fn(teacher_model, params, state,
     params/state are replicated over it so the jitted forward composes
     with data-sharded batches (single-device teacher arrays against a
     mesh-sharded clip tensor is an incompatible-devices error).
+
+    cam_cfg: the teacher's ISTVTConfig — when set, teacher_fn returns
+    (logits, cam_s, cam_t): the teacher's OWN LRP attribution maps
+    (interpret/lrp.generate_lrp), the supervision signal for
+    attention-transfer distillation. Logit-only distillation can leave
+    the student solving the task through an anti-localized attention
+    pattern that defeats the LRP interpretability contract (measured:
+    a toy distilled student puts exactly zero relevance on the
+    artifact cells its teacher localizes at 1.6-2.8x uniform);
+    transferring WHERE the teacher looks restores it
+    (losses.make_distill_loss attn_weight).
+
+    cam_chunk: compute the LRP cams in batch chunks of this size — at
+    full geometry (300^2/depth-12) the materialized per-layer attention
+    maps AND their grads are ~700 MB per clip row; a B=8 batch at once
+    exceeds v5e HBM (surfaces as the opaque remote-compile HTTP 500).
+    Chunks are equal-shape (batch must divide), so one compile serves
+    all chunks.
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -53,13 +74,29 @@ def make_teacher_fn(teacher_model, params, state,
 
     def teacher_fn(batch):
         x = batch.get("clips", batch.get("images"))
-        return logits_fn(params, state, x)
+        logits = logits_fn(params, state, x)
+        if cam_cfg is None:
+            return logits
+        from istvt_tpu.interpret.lrp import generate_lrp
+        if cam_chunk and x.shape[0] > cam_chunk:
+            assert x.shape[0] % cam_chunk == 0, \
+                f"cam_chunk {cam_chunk} must divide batch {x.shape[0]}"
+            parts = [generate_lrp(params, state, x[i:i + cam_chunk],
+                                  cam_cfg, index=0)
+                     for i in range(0, x.shape[0], cam_chunk)]
+            cam_s = jnp.concatenate([p[0] for p in parts])
+            cam_t = jnp.concatenate([p[1] for p in parts])
+        else:
+            cam_s, cam_t = generate_lrp(params, state, x, cam_cfg,
+                                        index=0)
+        return logits, cam_s, cam_t
 
     return teacher_fn
 
 
 def augment_with_teacher(teacher_fn: Callable,
-                         student_size: Optional[int] = None) -> Callable:
+                         student_size: Optional[int] = None,
+                         student_feat_hw: Optional[int] = None) -> Callable:
     """batch_hook for Trainer(fit): adds 'teacher_logits' to each batch.
 
     student_size: cross-geometry distillation — the teacher scores the
@@ -68,6 +105,14 @@ def augment_with_teacher(teacher_fn: Callable,
     per-token, so teacher and student each need their own geometry; this
     is how the composed serving recipe (full-geometry teacher ->
     reduced-geometry shallow student, docs/SERVING.md) is trained.
+
+    When teacher_fn was built with cam_cfg (attention transfer), the
+    hook also adds 'teacher_cam_s' (B, T, hw_student): the teacher's
+    spatial LRP map per frame, bilinearly regridded from the teacher's
+    feature grid to the student's (student_feat_hw; default: the
+    teacher's own grid) and renormalized to a distribution over cells —
+    consumed by losses.make_distill_loss(attn_weight=...); and
+    'teacher_cam_t' (B, T): the teacher's frame-relevance marginal.
     """
     resize = None
     if student_size is not None:
@@ -76,9 +121,28 @@ def augment_with_teacher(teacher_fn: Callable,
             shape = (*x.shape[:-3], student_size, student_size, x.shape[-1])
             return jax.image.resize(x, shape, "bilinear")
 
+    @jax.jit
+    def regrid(cam_s, cam_t):
+        b, t, hw = cam_s.shape
+        ht = int(round(hw ** 0.5))
+        hs = student_feat_hw or ht
+        g = cam_s.reshape(b, t, ht, ht)
+        if hs != ht:
+            g = jax.image.resize(g, (b, t, hs, hs), "bilinear")
+        g = jnp.maximum(g.reshape(b, t, hs * hs), 0.0)
+        g = g / (jnp.sum(g, axis=-1, keepdims=True) + 1e-9)
+        ft = jnp.maximum(jnp.sum(cam_t, axis=-1), 0.0)        # (B, T)
+        ft = ft / (jnp.sum(ft, axis=-1, keepdims=True) + 1e-9)
+        return g, ft
+
     def hook(batch):
         out = dict(batch)
-        out["teacher_logits"] = teacher_fn(batch)
+        res = teacher_fn(batch)
+        if isinstance(res, tuple):
+            out["teacher_logits"], cam_s, cam_t = res
+            out["teacher_cam_s"], out["teacher_cam_t"] = regrid(cam_s, cam_t)
+        else:
+            out["teacher_logits"] = res
         if resize is not None:
             key = "clips" if "clips" in batch else "images"
             out[key] = resize(batch[key])

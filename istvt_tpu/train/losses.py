@@ -61,12 +61,87 @@ def distillation_bce(logits, teacher_logits, labels, alpha: float = 0.5,
         + (1.0 - alpha) * (T * T) * soft
 
 
-def make_distill_loss(alpha: float = 0.5, temperature: float = 2.0):
+def attention_transfer_ce(attns, cam_s_target, cam_t_target, labels,
+                          cam_s_mask=None):
+    """Cross-entropy between the teacher's LRP saliency distributions and
+    the student's layer/head-averaged CLS-row attention, masked to fakes.
+
+    attns: the model's return_attn structure — {'s': [L x (B,H,T+1,S,S)],
+    't': [L x (B,H,S,T+1,T+1)]} (istvt.apply). The student's predicted
+    saliency is the CLS row over patch/frame tokens, averaged over heads
+    and layers then renormalized — the first-order (no-gradient) analog
+    of the rollout that interpret/lrp.generate_lrp reads out, so pulling
+    it toward the teacher's cam pulls the student's LRP maps toward the
+    teacher's. Masked to label==1 rows: the teacher's fake-relevance map
+    on a REAL clip is ~zero (Chefer rule 6 keeps positive evidence only)
+    and normalizes to noise.
+
+    Returns (spatial_ce, temporal_ce); either is 0 when its target is
+    None or the mask is empty.
+    """
+    m = (labels.reshape(-1) > 0).astype(jnp.float32)          # (B,)
+
+    def _masked_ce(pred, target, mask):
+        # pred/target: (B, T, n) / per-frame distributions over n cells
+        pred = pred / (jnp.sum(pred, axis=-1, keepdims=True) + 1e-9)
+        ce = -jnp.sum(target * jnp.log(pred + 1e-9), axis=-1)  # (B, T)
+        return (jnp.sum(jnp.mean(ce, axis=-1) * mask)
+                / jnp.maximum(jnp.sum(mask), 1.0))
+
+    s_ce = jnp.float32(0.0)
+    if cam_s_target is not None:
+        # spatial CLS row of real frames: (B,H,T,hw) per layer.
+        # cam_s_mask (B,): clips whose spatial cam target is trusted —
+        # frames-subset fakes carry artifact-free frames whose teacher
+        # spatial cams are normalized noise, and training on them
+        # degrades the student's localization (measured, toy: spatial
+        # ratios 1.87 -> 0.85 with temporal-aug batches unmasked; frame
+        # weighting by the teacher's peaked cam_t was WORSE, 0.09, by
+        # leaving most frames unsupervised), so certify's aug batches
+        # set it to 0 and contribute only logit + temporal terms.
+        m_s = m if cam_s_mask is None else m * cam_s_mask.reshape(-1)
+        per = [jnp.mean(a[:, :, 1:, 0, 1:].astype(jnp.float32), axis=1)
+               for a in attns["s"]]
+        s_ce = _masked_ce(sum(per) / len(per), cam_s_target, m_s)
+    t_ce = jnp.float32(0.0)
+    if cam_t_target is not None:
+        # temporal CLS row at patch locations: (B,H,hw,T) per layer ->
+        # frame distribution (B,T); lift to (B,1,T) for the shared helper
+        per = [jnp.mean(a[:, :, 1:, 0, 1:].astype(jnp.float32),
+                        axis=(1, 2)) for a in attns["t"]]
+        t_ce = _masked_ce((sum(per) / len(per))[:, None, :],
+                          cam_t_target[:, None, :], m)
+    return s_ce, t_ce
+
+
+def make_distill_loss(alpha: float = 0.5, temperature: float = 2.0,
+                      attn_weight: float = 0.0):
     """loss_fn for make_train_step: reads batch['teacher_logits'] (see
-    train/distill.py for how those get injected)."""
-    def loss_fn(logits, batch):
-        return distillation_bce(logits, batch["teacher_logits"],
+    train/distill.py for how those get injected).
+
+    attn_weight > 0 enables attention transfer: adds attn_weight *
+    (spatial + temporal) attention_transfer_ce against the teacher's LRP
+    cams (batch['teacher_cam_s'/'teacher_cam_t'], injected by
+    distill.augment_with_teacher when built with cam_cfg). Measured
+    motivation (round 5, toy 72^2->56^2): logit-only distillation
+    reliably produces students whose LRP maps put ZERO relevance on the
+    artifact cells the teacher localizes at 1.6-2.8x uniform — the soft
+    targets are solvable through a global anti-localized pathway, and a
+    hard-label fine-tune tail does not undo it. Supervising WHERE the
+    teacher looks is the fix. Sets loss_fn.needs_attn so make_train_step
+    runs the forward with return_attn=True (materializes attention maps
+    — the documented Pallas hot-path tax; training-only)."""
+    def loss_fn(logits, batch, attns=None):
+        loss = distillation_bce(logits, batch["teacher_logits"],
                                 batch["labels"], alpha, temperature)
+        if attn_weight and attns is not None:
+            s_ce, t_ce = attention_transfer_ce(
+                attns, batch.get("teacher_cam_s"),
+                batch.get("teacher_cam_t"), batch["labels"],
+                cam_s_mask=batch.get("cam_s_mask"))
+            loss = loss + attn_weight * (s_ce + t_ce)
+        return loss
+    loss_fn.needs_attn = attn_weight > 0
     return loss_fn
 
 

@@ -85,15 +85,27 @@ def make_train_step(
     loss_fn = loss_fn or (lambda logits, batch:
                           losses.bce_with_logits(logits, batch["labels"]))
 
+    # attention-transfer losses (losses.make_distill_loss attn_weight)
+    # declare needs_attn: run the forward with return_attn=True and hand
+    # the maps to the loss. Incompatible with pipeline parallelism (the
+    # PP layer stack drops per-layer attention outputs).
+    needs_attn = getattr(loss_fn, "needs_attn", False)
+
     def compute_loss(params, model_state, batch, rng):
         x = batch.get("clips", batch.get("images"))
         if compute_dtype is not None:
             from istvt_tpu.core import tree as _tree
             params = _tree.cast(params, compute_dtype)
             x = x.astype(compute_dtype)
-        logits, new_state = model.apply(params, model_state, x,
-                                        train=True, rng=rng)
-        loss = loss_fn(logits, batch)
+        if needs_attn:
+            (logits, attns), new_state = model.apply(
+                params, model_state, x, train=True, rng=rng,
+                return_attn=True)
+            loss = loss_fn(logits, batch, attns=attns)
+        else:
+            logits, new_state = model.apply(params, model_state, x,
+                                            train=True, rng=rng)
+            loss = loss_fn(logits, batch)
         return loss, (new_state, logits)
 
     def step(ts: TrainState, batch, rng):
