@@ -48,6 +48,14 @@ def build_parser():
                    help="bf16 compute for the two training loops")
     p.add_argument("--no_int8", action="store_true")
     p.add_argument("--no_lrp", action="store_true")
+    p.add_argument("--no_teacher_lrp", action="store_true",
+                   help="skip the teacher's own LRP localization "
+                        "diagnostic (teacher_lrp_* fields)")
+    p.add_argument("--teacher_ckpt", default=None,
+                   help="teacher param checkpoint path: restored if it "
+                        "exists, written after training otherwise — "
+                        "lets distill-hyperparameter iteration skip "
+                        "teacher retraining")
     p.add_argument("--int8_delta_max", type=float, default=1.0)
     p.add_argument("--out", default=None, help="JSON artifact path")
     p.add_argument("--cpu", action="store_true",
@@ -81,7 +89,9 @@ def main(argv=None):
         cam_chunk=args.cam_chunk,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         int8_delta_max=args.int8_delta_max,
-        run_int8=not args.no_int8, run_lrp=not args.no_lrp)
+        run_int8=not args.no_int8, run_lrp=not args.no_lrp,
+        diag_teacher_lrp=not args.no_teacher_lrp,
+        teacher_ckpt=args.teacher_ckpt)
     result["backend"] = jax.devices()[0].platform
     blob = json.dumps(result, indent=2, default=float)
     print(blob)

@@ -126,6 +126,43 @@ def _patch_cells(y: float, x: float, ps: float, size: int,
     return [r * feat_hw + c for r in rows for c in cols]
 
 
+def _lrp_eval(params, mstate, clips, cfg, chunk=None):
+    """(logits, cam_s, cam_t) via generate_lrp, in equal-shape batch
+    chunks when `chunk` divides the batch — at 300^2/depth-12 the
+    materialized attention maps + grads of a >2-clip batch exceed v5e
+    HBM, and chunking at the SAME size the distillation teacher hook
+    used reuses its remote compile."""
+    from istvt_tpu.interpret.lrp import generate_lrp
+    n = clips.shape[0]
+    if chunk and n > chunk and n % chunk == 0:
+        parts = []
+        for i in range(0, n, chunk):
+            c = clips[i:i + chunk]
+            parts.append((_fwd_logits(params, mstate, c, cfg),
+                          *generate_lrp(params, mstate, c, cfg, index=0)))
+        return (np.concatenate([np.asarray(p[0]) for p in parts]),
+                np.concatenate([np.asarray(p[1]) for p in parts]),
+                np.concatenate([np.asarray(p[2]) for p in parts]))
+    logits = _fwd_logits(params, mstate, clips, cfg)
+    cam_s, cam_t = generate_lrp(params, mstate, clips, cfg, index=0)
+    return np.asarray(logits), np.asarray(cam_s), np.asarray(cam_t)
+
+
+def _spatial_ratios(cam_s, fakes, scale: float, size: int, feat_hw: int,
+                    ps: float) -> list:
+    """Per-fake ratio of cam_s mass on the artifact cells vs the uniform
+    share (ratio 1.0 = no localization)."""
+    ratios = []
+    for j, f in enumerate(fakes):
+        y, x = f["patch_yx"]
+        cells = _patch_cells(y * scale, x * scale, ps * scale, size,
+                             feat_hw)
+        sm = cam_s[j] / (cam_s[j].sum(axis=-1, keepdims=True) + 1e-9)
+        share = sm[:, cells].sum(axis=-1).mean()
+        ratios.append(float(share / (len(cells) / feat_hw ** 2)))
+    return ratios
+
+
 def _subset_frame_fakes(n: int, seq_len: int, size: int, patch: int,
                         frames: Sequence[int], seed: int) -> np.ndarray:
     """Fakes whose artifact lives only in a SUBSET of frames — ground
@@ -219,6 +256,8 @@ def certify_recipe(
     cam_chunk: Optional[int] = None,
     run_int8: bool = True,
     run_lrp: bool = True,
+    diag_teacher_lrp: bool = True,
+    teacher_ckpt: Optional[str] = None,
     teacher_bundle: Optional[tuple] = None,
     log: Callable = print,
 ) -> dict:
@@ -239,6 +278,17 @@ def certify_recipe(
     teacher at (teacher_size, teacher_depth, seq_len) on the SAME
     static-patch task (train seed/patch must match this call's) — skips
     teacher training; tests reuse the session-scoped capability model.
+
+    teacher_ckpt: path for on-disk teacher reuse across runs — restored
+    if it exists (geometry/task must match, as with teacher_bundle),
+    written after training otherwise. Iterating on DISTILLATION
+    hyperparameters then skips the teacher leg entirely.
+
+    diag_teacher_lrp: also measure the TEACHER's own LRP localization
+    (spatial ratios + temporal shares, reported as teacher_lrp_* —
+    diagnostic only, no pass criterion). The attention-transfer signal
+    is the teacher's cams; if the teacher itself does not localize, no
+    distill hyperparameter can make the student inherit localization.
     """
     t_start = time.time()
     ps = patch_size or teacher_size // 3
@@ -269,13 +319,30 @@ def certify_recipe(
     if teacher_bundle is not None:
         teacher, tp_, tms = teacher_bundle
     else:
+        import os
+
         t_cfg = ISTVTConfig(num_frames=seq_len, image_size=teacher_size,
                             feat_hw=infer_feat_hw(teacher_size),
                             depth=teacher_depth)
         teacher = model_selection("istvt", num_out_classes=1, cfg=t_cfg)
-        tp_, tms = _train(teacher, batches, epochs=teacher_epochs, lr=lr,
-                          seed=seed, compute_dtype=compute_dtype, log=log,
-                          tag=f"teacher {teacher_size}^2/d{teacher_depth}")
+        if teacher_ckpt and os.path.exists(teacher_ckpt):
+            from istvt_tpu.core.checkpoint import load_pytree
+            tpl_p, tpl_s = teacher.init(jax.random.PRNGKey(0))
+            blob = load_pytree(teacher_ckpt,
+                               {"params": tpl_p, "model_state": tpl_s})
+            tp_, tms = blob["params"], blob["model_state"]
+            log(f"[certify] teacher restored from {teacher_ckpt}")
+        else:
+            tp_, tms = _train(teacher, batches, epochs=teacher_epochs,
+                              lr=lr, seed=seed,
+                              compute_dtype=compute_dtype, log=log,
+                              tag=f"teacher {teacher_size}^2/"
+                                  f"d{teacher_depth}")
+            if teacher_ckpt:
+                from istvt_tpu.core.checkpoint import save_pytree
+                save_pytree(teacher_ckpt,
+                            {"params": tp_, "model_state": tms})
+                log(f"[certify] teacher saved to {teacher_ckpt}")
     t_logits = _eval_logits(teacher, tp_, tms, vb)
     labels = np.asarray(vb["labels"]).reshape(-1)
     teacher_auc = float(auc(jnp.asarray(t_logits), vb["labels"]))
@@ -361,25 +428,31 @@ def certify_recipe(
 
     # -- LRP localization on the shipped student ------------------------
     if run_lrp:
-        from istvt_tpu.interpret.lrp import generate_lrp
         fakes = sorted([it for it in val_items if it["labels"] == 1],
                        key=lambda it: -float(it.get("amp", 1.0)))[:lrp_fakes]
         clips_t = np.stack([f["clips"] for f in fakes])
+
+        # teacher's own localization — the supervision signal's quality
+        # ceiling (diagnostic; same chunk shape as the distill hook so
+        # its remote compile is reused)
+        if diag_teacher_lrp:
+            _, t_cam_s, _ = _lrp_eval(tp_, tms, jnp.asarray(clips_t),
+                                      t_cfg_eff, chunk=cam_chunk)
+            t_ratios = _spatial_ratios(t_cam_s, fakes, 1.0, teacher_size,
+                                       t_cfg_eff.feat_hw, ps)
+            log(f"[certify] teacher LRP spatial ratios min "
+                f"{min(t_ratios):.2f} mean {np.mean(t_ratios):.2f}")
+            result.update(
+                teacher_lrp_spatial_ratio_min=min(t_ratios),
+                teacher_lrp_spatial_ratio_mean=float(np.mean(t_ratios)))
+
         clips_s = jax.image.resize(
             jnp.asarray(clips_t), (len(fakes), seq_len, student_size,
                                    student_size, 3), "bilinear")
-        logits = _fwd_logits(sp, sms, clips_s, s_cfg)
-        pos = bool(jnp.all(logits > 0))
-        cam_s, _ = generate_lrp(sp, sms, clips_s, s_cfg, index=0)
-        cam_s = np.asarray(cam_s)
-        ratios = []
-        for j, f in enumerate(fakes):
-            y, x = f["patch_yx"]
-            cells = _patch_cells(y * scale, x * scale, ps * scale,
-                                 student_size, s_cfg.feat_hw)
-            sm = cam_s[j] / (cam_s[j].sum(axis=-1, keepdims=True) + 1e-9)
-            share = sm[:, cells].sum(axis=-1).mean()
-            ratios.append(float(share / (len(cells) / s_cfg.feat_hw ** 2)))
+        logits, cam_s, _ = _lrp_eval(sp, sms, clips_s, s_cfg)
+        pos = bool(np.all(logits > 0))
+        ratios = _spatial_ratios(cam_s, fakes, scale, student_size,
+                                 s_cfg.feat_hw, ps)
         log(f"[certify] LRP spatial ratios min {min(ratios):.2f} mean "
             f"{np.mean(ratios):.2f} (fake logits positive: {pos})")
         result.update(lrp_spatial_ratio_min=min(ratios),
@@ -395,25 +468,33 @@ def certify_recipe(
                 (tuple(range(seq_len // 2, seq_len)), 0.5 + 0.2),
                 ((last,), 1 / seq_len + 0.3),
             ]
+        def _t_share(cam_t, frames):
+            tm = cam_t.sum(axis=-1)
+            tm = tm / (tm.sum(axis=-1, keepdims=True) + 1e-9)
+            return float(tm[:, list(frames)].sum(axis=-1).mean())
+
         result["lrp_temporal"] = []
         for frames, floor in temporal_checks:
             sub = _subset_frame_fakes(lrp_fakes, seq_len, teacher_size,
                                       ps, frames, seed=4242)
+            entry = {"frames": list(frames), "floor": floor}
+            if diag_teacher_lrp:
+                _, _, t_cam_t = _lrp_eval(tp_, tms, jnp.asarray(sub),
+                                          t_cfg_eff, chunk=cam_chunk)
+                entry["teacher_share"] = _t_share(t_cam_t, frames)
             sub_s = jax.image.resize(
                 jnp.asarray(sub), (lrp_fakes, seq_len, student_size,
                                    student_size, 3), "bilinear")
-            lg = _fwd_logits(sp, sms, sub_s, s_cfg)
-            _, cam_t = generate_lrp(sp, sms, sub_s, s_cfg, index=0)
-            tm = np.asarray(cam_t).sum(axis=-1)
-            tm = tm / (tm.sum(axis=-1, keepdims=True) + 1e-9)
-            share = float(tm[:, list(frames)].sum(axis=-1).mean())
-            pos_t = bool(jnp.all(lg > 0))
+            lg, _, cam_t = _lrp_eval(sp, sms, sub_s, s_cfg)
+            share = _t_share(cam_t, frames)
+            pos_t = bool(np.all(lg > 0))
             log(f"[certify] LRP temporal frames {tuple(frames)}: share "
                 f"{share:.3f} (uniform {len(frames) / seq_len:.3f}, "
-                f"floor {floor}, logits positive: {pos_t})")
-            result["lrp_temporal"].append(
-                {"frames": list(frames), "share": share, "floor": floor,
-                 "logits_positive": pos_t})
+                f"floor {floor}, teacher "
+                f"{entry.get('teacher_share', float('nan')):.3f}, "
+                f"logits positive: {pos_t})")
+            entry.update(share=share, logits_positive=pos_t)
+            result["lrp_temporal"].append(entry)
             criteria[f"lrp_temporal_{'_'.join(map(str, frames))}"] = \
                 pos_t and share >= floor
 
