@@ -38,6 +38,12 @@ def build_parser():
                    help="attention-transfer weight (0 = logit-only "
                         "distillation; see train/losses.make_distill_loss)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_amp", default="0.3,1.5",
+                   help="graded artifact-amplitude range 'lo,hi' for the "
+                        "TRAIN set ('none' = fixed amplitude). Graded "
+                        "difficulty is what keeps gradient-weighted LRP "
+                        "localized at full geometry (train/certify.py "
+                        "data note); production default 0.3,1.5")
     p.add_argument("--temporal_aug", type=int, default=1,
                    help="subset-frame-fake batches added to the distill "
                         "set (temporal boundary transfer; 0 disables)")
@@ -83,6 +89,9 @@ def main(argv=None):
         seq_len=args.seq_len, train_clips=args.train_clips,
         val_clips=args.val_clips, batch_size=args.batch_size,
         patch_size=args.patch_size, teacher_epochs=args.teacher_epochs,
+        train_amp_range=(None if args.train_amp.lower() == "none" else
+                         tuple(float(v)
+                               for v in args.train_amp.split(","))),
         distill_epochs=args.distill_epochs, lr=args.lr, seed=args.seed,
         alpha=args.alpha, temperature=args.distill_T,
         attn_weight=args.attn_weight, temporal_aug=args.temporal_aug,

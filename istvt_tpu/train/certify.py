@@ -242,6 +242,7 @@ def certify_recipe(
     temperature: float = 2.0,
     attn_weight: float = 1.0,
     seed: int = 0,
+    train_amp_range: Optional[Tuple[float, float]] = None,
     compute_dtype=None,
     auc_frac: float = 0.95,
     int8_delta_max: float = 1.0,
@@ -295,9 +296,21 @@ def certify_recipe(
     scale = student_size / teacher_size
 
     # -- data: train and DISJOINT val, artifact pinned per clip ---------
+    # train_amp_range (production: CLI default 0.3-1.5): graded artifact
+    # STRENGTH in the TRAIN set. Measured (diag, r5, 300^2/d12): a
+    # teacher trained on fixed-amplitude fakes saturates through a
+    # shortcut whose d logit / d A is FLAT at the artifact — every
+    # gradient-weighted attribution (transformer_attribution, full
+    # eps-LRP) is diffuse (spatial ratios 0.04-0.40) even though the raw
+    # CLS attention localizes at 3.8x. Training on graded amplitudes
+    # keeps the gradient aligned with the evidence: ta ratios 6.0-6.6 at
+    # EVERY checkpoint, independent of logit magnitude (8.7 at ep 15).
+    # The reference's real-data regime (hard examples keep the loss off
+    # zero) is the graded case, not the fixed one.
     train_ds = SyntheticVideoDataset(num_clips=train_clips, seq_len=seq_len,
                                      size=teacher_size, seed=seed,
-                                     static_patch=True, patch_size=ps)
+                                     static_patch=True, patch_size=ps,
+                                     amp_range=train_amp_range)
     # graded artifact amplitude on VAL: saturated fixed-amp logits make
     # rank correlation pure within-class noise; a difficulty axis gives
     # the teacher a meaningful ranking for the student to reproduce
@@ -396,7 +409,9 @@ def certify_recipe(
         "budget": {"train_clips": train_clips, "val_clips": val_clips,
                    "teacher_epochs": teacher_epochs,
                    "distill_epochs": distill_epochs,
-                   "steps_per_epoch": len(batches)},
+                   "steps_per_epoch": len(batches),
+                   "train_amp_range": train_amp_range,
+                   "attn_weight": attn_weight},
         "teacher_auc": teacher_auc,
         "student_auc": student_auc,
         "teacher_fidelity_spearman": fidelity,
