@@ -13,31 +13,36 @@ compile outlived the driver's timeout and the round lost its official
 number). Architecture now: a lightweight PARENT process (no jax import)
 runs each measurement leg in a CHILD subprocess with a hard kill
 timeout, under a global wall-clock budget (env BENCH_BUDGET_S, default
-540 s — slow-tunnel sessions have measured the anchor's compile alone
-at ~325 s). The headline JSON line prints TWICE: immediately when the
-anchor completes (so a driver kill during enrichment can never erase
-the number — the driver records stdout even at rc=124), and again at
-the end with enrichment fields, same headline value. Legs in order of
-decreasing safety:
+2800 s — every leg budgets a COLD remote compile at r5-measured cost:
+anchor ~450-500 s, recipe ~270-430 s, train ~700-900 s, latency
+~500 s; the terminal-side compile cache does not persist across
+processes, and r4's warm ~30-135 s figures no longer hold). The headline JSON
+line prints up to THREE ways: immediately when the anchor completes
+(so a driver kill during enrichment can never erase the number — the
+driver records stdout even at rc=124), again at the end with
+enrichment fields (same headline value), and from a SIGTERM handler
+that emits best-so-far or an honest failure if the driver kills the
+parent first. Legs in order of decreasing value:
 
-  1. throughput B=16  — the known-fast-compiling config (round-2's
-     official 263 clips/s artifact used it); this leg's result alone is
-     a valid bench line.
-  2. throughput B=32  — measured faster per clip when it compiles
-     (~315 clips/s); attempted only if budget remains, upgraded into
-     the result only if it beats leg 1.
-  3. bs=1 latency     — enrichment only; skipped first under pressure.
-  4. recipe 224²/d6   — enrichment only (extra.recipe_224_d6_clips_per_sec,
-     the composed distilled-student geometry, docs/SERVING.md); runs
-     only when ample budget remains and can never become the headline.
-  5. train step B=32 grad_accum=2 — enrichment only, LAST in budget
-     order (extra.train_clips_per_sec; the B=32 train compile was the
-     round-3 budget-killer, so it can never precede the headline or
-     the other enrichments). Reuses cli.bench --train_step (the
-     reference's driver is a TRAINING harness, train_CNN.py:495-549);
-     the ~60 clips/s record in BASELINE.md becomes driver-capturable.
-     BENCH_TRAIN=0 disables; a skipped/timed-out leg leaves an honest
-     diagnostic in extra.legs.
+  1. throughput B=16  — the anchor and headline (round-4's official
+     315.93 clips/s artifact used it); gets nearly the whole budget —
+     a fixed sub-budget cap risks a guaranteed-timeout zero (r5
+     shakeout at 420 s, late-r4 shakeout at 300 s).
+  2. recipe 224²/d6   — enrichment only (extra.recipe_224_d6_clips_per_sec,
+     the composed distilled-student geometry, docs/SERVING.md +
+     CERT_RECIPE.json); can never become the headline.
+  3. train step B=32 grad_accum=2 — enrichment (VERDICT r4 #5,
+     extra.train_clips_per_sec): the ~60 clips/s record in BASELINE.md
+     becomes driver-capturable. Reuses cli.bench --train_step (the
+     reference's driver is a TRAINING harness, train_CNN.py:495-549).
+     Outranks latency (already documented in BENCH_r04); its compile
+     is the historical budget-killer so it still follows the recipe
+     leg. BENCH_TRAIN=0 disables.
+  4. bs=1 latency     — enrichment only; last (known from r4: p50
+     28.93 ms tunnel, 5.64 ms device).
+  5. throughput B=32  — opt-in (BENCH_TRY_B32=1); upgraded into the
+     result only if it beats leg 1.
+  A skipped/timed-out leg leaves an honest diagnostic in extra.legs.
 
 The parent prints the best completed result as the FINAL stdout line no
 matter which legs died — SIGALRM inside a child is NOT reliable (a
@@ -217,7 +222,11 @@ def main() -> None:
                           size=size, depth=depth)
         return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    # default sized so all four legs fit at COLD-compile cost (~500 +
+    # 320 + 600 + 500); a driver that kills sooner still gets the
+    # headline via the early print / SIGTERM handler, so a large budget
+    # only ever ADDS enrichment fields.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2800"))
     deadline = time.monotonic() + budget
 
     def remaining() -> float:
@@ -225,6 +234,45 @@ def main() -> None:
 
     legs: dict[str, str] = {}
     best: dict | None = None
+
+    def result_line(extra_fields=None):
+        cps = best["clips_per_sec"]
+        r = {
+            "metric": "istvt_fwd_clips_per_sec_per_chip",
+            "value": cps,
+            "unit": "clips/s",
+            "vs_baseline": round(cps / PER_CHIP_BASELINE, 4),
+            "extra": {
+                "platform": best["platform"],
+                "batch": best["batch"],
+                "iters": best["iters"],
+                "dtype": best["dtype"],
+                "per_clip_ms": best["per_clip_ms"],
+                "legs": dict(legs),
+            },
+        }
+        r["extra"].update(extra_fields or {})
+        return r
+
+    # The driver may SIGTERM this parent before our own deadline (that
+    # is how the r3 number died at rc=124). Print a parseable line —
+    # best-so-far or an honest failure — before going down, so NO
+    # driver timeout can erase the round's number. (A child leg left
+    # running becomes an orphan that exits on its own kill-timeout.)
+    def _sigterm(_sig, _frm):
+        if best is not None:
+            print(json.dumps(result_line()), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "istvt_fwd_clips_per_sec_per_chip",
+                "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+                "extra": {"error": "killed before any leg completed",
+                          "legs": dict(legs), "budget_s": budget},
+            }), flush=True)
+        os._exit(0)
+
+    import signal
+    signal.signal(signal.SIGTERM, _sigterm)
 
     # platform probe in a child (importing jax in the parent would let a
     # hung tunnel handshake take the whole bench down). A FAILED probe
@@ -275,31 +323,16 @@ def main() -> None:
             best = r
         return r is not None
 
-    # anchor leg capped at 420 s: slow-tunnel sessions have measured the
-    # 300² int8 compile alone at ~325 s (a 300 s cap zeroed a shakeout
-    # run late in r4), and the NUMBER matters more than any enrichment
-    # leg. A fast crash still leaves budget for ONE retry.
-    if not try_leg(*plan[0], cap=420) and remaining() > 140:
+    # anchor leg gets (nearly) the WHOLE budget: the 300² int8 remote
+    # compile alone measured ~430-470 s in r5 (~325 s in r4 — it
+    # drifts), so any fixed sub-budget cap risks a guaranteed timeout
+    # that zeroes the round (that exact failure: a 420 s cap in the r5
+    # shakeout, a 300 s cap late in r4). The NUMBER matters more than
+    # any enrichment leg, and the early print below secures it the
+    # moment the leg lands. A fast crash still leaves budget for ONE
+    # retry; a timeout consumed the budget anyway.
+    if not try_leg(*plan[0]) and remaining() > 140:
         try_leg(*plan[0])
-
-    def result_line(extra_fields=None):
-        cps = best["clips_per_sec"]
-        r = {
-            "metric": "istvt_fwd_clips_per_sec_per_chip",
-            "value": cps,
-            "unit": "clips/s",
-            "vs_baseline": round(cps / PER_CHIP_BASELINE, 4),
-            "extra": {
-                "platform": best["platform"],
-                "batch": best["batch"],
-                "iters": best["iters"],
-                "dtype": best["dtype"],
-                "per_clip_ms": best["per_clip_ms"],
-                "legs": dict(legs),
-            },
-        }
-        r["extra"].update(extra_fields or {})
-        return r
 
     # print the headline IMMEDIATELY once the anchor is in: the driver
     # records stdout even when it kills a run (r3's artifact captured
@@ -319,43 +352,45 @@ def main() -> None:
     # `python -m istvt_tpu.cli.certify` (disjoint-val AUC + int8 parity
     # + LRP localization of the distilled int8 student; the same chain
     # runs at toy geometry in tests/test_certify.py).
+    # per-leg caps sized for COLD remote compiles: r5 measured ~430-470s
+    # for the 300² anchor program and >170s even for the small 224²/d6
+    # one — the terminal-side compile cache does NOT persist across
+    # processes (two identical back-to-back legs each paid ~450s), so
+    # every leg must budget a full compile, not r4's warm ~30s.
     rec = None
     if (best is not None and best.get("platform") == "tpu"
             and os.environ.get("BENCH_RECIPE", "1") == "1"
             and remaining() > 140):
         rec, why = _run_leg(["--leg", "16", str(iters), "--size", "224",
                              "--depth", "6"],
-                            min(remaining() - 15, 170))
+                            min(remaining() - 15, 600))
         legs["recipe_224_d6"] = why
 
-    # latency enrichment BEFORE any extra throughput legs — a timed-out
-    # b32 attempt must not starve it (that happened in the r4 shakeout).
+    # train-step enrichment (VERDICT r4 #5) OUTRANKS latency: B=32
+    # grad_accum=2 is the measured-best training config (~60 clips/s,
+    # BASELINE.md) and has never been driver-captured, while bs=1
+    # latency is already documented in BENCH_r04. Its compile is the
+    # historical budget-killer — kill-timeout subprocess like the rest.
+    trn = None
+    if (best is not None and best.get("platform") == "tpu"
+            and os.environ.get("BENCH_TRAIN", "1") == "1"):
+        if remaining() > 200:
+            trn, why = _run_leg(["--leg-train", "32", "2", "4"],
+                                min(remaining() - 15, 900))
+        else:
+            why = "skipped_budget"
+        legs["train_b32_accum2"] = why
+
     lat = None
     if (best is not None and best.get("batch", 1) > 1
             and os.environ.get("BENCH_LATENCY", "1") == "1"
             and remaining() > 140):
-        # capped: a healthy bs=1 leg takes ~90-135 s; a stalled one must
-        # not stretch the total wall clock the driver sees
         lat, why = _run_leg(["--leg", "1", "4", "--lat"],
-                            min(remaining() - 15, 170))
+                            min(remaining() - 15, 600))
         legs["b1_latency"] = why
 
     for batch, n_iters in plan[1:]:
         try_leg(batch, n_iters)
-
-    # train-step enrichment LAST (VERDICT r4 #5): B=32 grad_accum=2 is
-    # the measured-best training config (~60 clips/s, BASELINE.md) but
-    # its compile is the historical budget-killer — it runs only after
-    # every other leg is secured, in its own kill-timeout subprocess.
-    trn = None
-    if (best is not None and best.get("platform") == "tpu"
-            and os.environ.get("BENCH_TRAIN", "1") == "1"):
-        if remaining() > 150:
-            trn, why = _run_leg(["--leg-train", "32", "2", "4"],
-                                min(remaining() - 15, 300))
-        else:
-            why = "skipped_budget"
-        legs["train_b32_accum2"] = why
 
     if best is None:
         # nothing completed: emit an honest failure line (still valid
