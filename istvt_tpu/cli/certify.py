@@ -64,6 +64,11 @@ def build_parser():
                         "teacher retraining")
     p.add_argument("--int8_delta_max", type=float, default=1.0)
     p.add_argument("--out", default=None, help="JSON artifact path")
+    p.add_argument("--export", default=None, metavar="DIR",
+                   help="also export the certified int8 student as an "
+                        "AOT serving artifact (serve_export) and "
+                        "selftest it against the certification's own "
+                        "val logits (criterion artifact_matches)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (honor_env)")
     return p
@@ -100,7 +105,7 @@ def main(argv=None):
         int8_delta_max=args.int8_delta_max,
         run_int8=not args.no_int8, run_lrp=not args.no_lrp,
         diag_teacher_lrp=not args.no_teacher_lrp,
-        teacher_ckpt=args.teacher_ckpt)
+        teacher_ckpt=args.teacher_ckpt, export_dir=args.export)
     result["backend"] = jax.devices()[0].platform
     blob = json.dumps(result, indent=2, default=float)
     print(blob)

@@ -257,6 +257,7 @@ def certify_recipe(
     cam_chunk: Optional[int] = None,
     run_int8: bool = True,
     run_lrp: bool = True,
+    export_dir: Optional[str] = None,
     diag_teacher_lrp: bool = True,
     teacher_ckpt: Optional[str] = None,
     teacher_bundle: Optional[tuple] = None,
@@ -427,8 +428,8 @@ def certify_recipe(
                             feat_hw=s_cfg.feat_hw, depth=student_depth,
                             use_pallas=True, quantize="int8")
         student_q = model_selection("istvt", num_out_classes=1, cfg=q_cfg)
-        q_logits = _eval_logits(student_q, istvt.quantize_params(sp),
-                                sms, vb_s)
+        qp = istvt.quantize_params(sp)
+        q_logits = _eval_logits(student_q, qp, sms, vb_s)
         int8_auc = float(auc(jnp.asarray(q_logits), vb["labels"]))
         int8_delta = float(np.max(np.abs(q_logits - s_logits)))
         int8_sp = spearman(q_logits, s_logits)
@@ -440,6 +441,33 @@ def certify_recipe(
             int8_auc=int8_auc >= auc_frac * teacher_auc,
             int8_delta=int8_delta <= int8_delta_max,
             int8_rank_fidelity=int8_sp >= int8_spearman_min)
+
+        # -- deployable artifact of the certified student ---------------
+        # export the EXACT quantized params just scored and selftest the
+        # reloaded AOT bundle against the certification's own val logits
+        # — the artifact a deployer ships is the one the criteria above
+        # certify, not a re-derived cousin (serve_export.save_artifact;
+        # reference analog: the trained model IS the deliverable,
+        # train_CNN.py:998-1011).
+        if export_dir:
+            from istvt_tpu import serve_export as SE
+            man = SE.save_artifact(
+                export_dir, student_q, qp, sms,
+                input_shape=(seq_len, student_size, student_size, 3),
+                batch_sizes=(1, batch_size),
+                extra_meta={"certified": True,
+                            "geometry": result["geometry"]})
+            scorer = SE.load_artifact(export_dir)
+            a_logits = scorer.predict(
+                np.asarray(vb_s["clips"], np.float32))["logits"]
+            a_logits = a_logits.reshape(-1)
+            art_delta = float(np.max(np.abs(a_logits - q_logits)))
+            log(f"[certify] exported artifact {export_dir} "
+                f"({man['batch_sizes']}): max |logit delta| vs certified "
+                f"int8 logits {art_delta:.3e}")
+            result.update(export_dir=export_dir,
+                          artifact_max_logit_delta=art_delta)
+            criteria.update(artifact_matches=art_delta <= 1e-3)
 
     # -- LRP localization on the shipped student ------------------------
     if run_lrp:

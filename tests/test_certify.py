@@ -23,7 +23,7 @@ from tests.conftest import E2E_PS, E2E_SZ, E2E_T
 
 
 @pytest.fixture(scope="module")
-def cert(synthetic_trained):
+def cert(synthetic_trained, tmp_path_factory):
     model, params, mstate, _ = synthetic_trained
     from istvt_tpu.train.certify import certify_recipe
 
@@ -38,6 +38,7 @@ def cert(synthetic_trained):
         # toy-calibrated floors (production defaults are stricter):
         auc_frac=0.9, fidelity_min=0.5, int8_spearman_min=0.9,
         lrp_ratio_min=1.1, lrp_ratio_mean=1.3,
+        export_dir=str(tmp_path_factory.mktemp("cert_artifact")),
         teacher_bundle=(model, params, mstate))
 
 
@@ -60,6 +61,18 @@ def test_int8_serving_parity(cert):
     assert cert["int8_auc"] >= 0.9 * cert["teacher_auc"]
     assert cert["int8_max_logit_delta"] <= 1.0
     assert cert["int8_spearman_vs_float"] >= 0.9
+
+
+def test_certified_artifact_roundtrip(cert):
+    # the deployable AOT bundle exported by the chain reproduces the
+    # certified int8 val logits (the shipped artifact IS the certified
+    # model, not a re-derived cousin)
+    import os
+
+    assert cert["criteria"]["artifact_matches"]
+    assert cert["artifact_max_logit_delta"] <= 1e-3
+    assert os.path.exists(os.path.join(cert["export_dir"],
+                                       "manifest.json"))
 
 
 def test_lrp_localization_survives_distillation(cert):
